@@ -1,0 +1,102 @@
+"""Binary -> 8-wide BVH collapse and flattening.
+
+TPU-first redesign of the reference's BFS binary serialization
+(src/core/BVH.cpp:2224-2277): instead of 2-texel binary nodes traversed with
+branchy if-if loops, we collapse the binary tree into nodes of up to 8
+children so one traversal step gathers a single [8, 6] bounds block and slab-
+tests all children on the VPU. Collapse policy: repeatedly expand the
+largest-surface-area internal child (greedy SAH-area heuristic), mirroring
+the reference's "larger child first" ordering intuition (BVH.cpp:2237-2248).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from gpupathtracer_tpu.bvh.types import (INVALID_ENTRY, BinaryBVH, WideBVH,
+                                         encode_leaf_entry)
+
+
+def collapse_to_wide(bvh: BinaryBVH, arity: int = 8) -> Tuple[WideBVH, int]:
+    """Collapse a binary BVH to an `arity`-wide flat BVH.
+
+    Returns (wide_bvh, max_wide_depth). Leaf counts must fit in 4 bits
+    (builders cap leaves at <= 15 refs).
+    """
+    assert 2 <= arity <= 8
+    sa = _half_area(bvh.bmin, bvh.bmax)
+    is_leaf = bvh.count > 0
+
+    def expand(b: int) -> List[int]:
+        """Greedy: pick up to `arity` binary subtree roots under node b."""
+        if is_leaf[b]:
+            return [int(b)]
+        sel = [int(bvh.left[b]), int(bvh.right[b])]
+        while len(sel) < arity:
+            best, best_sa = -1, -1.0
+            for i, s in enumerate(sel):
+                if not is_leaf[s] and sa[s] > best_sa:
+                    best, best_sa = i, float(sa[s])
+            if best < 0:
+                break
+            s = sel.pop(best)
+            sel.append(int(bvh.left[s]))
+            sel.append(int(bvh.right[s]))
+        return sel
+
+    # BFS so siblings are adjacent (cache-friendly gathers, cf. BVH.cpp:2443).
+    children_of: List[List[int]] = []
+    wide_index_of_binary = {}
+    order: List[int] = []
+
+    queue = [0]
+    while queue:
+        b = queue.pop(0)
+        wide_index_of_binary[b] = len(order)
+        order.append(b)
+        sel = expand(b)
+        children_of.append(sel)
+        for s in sel:
+            if not is_leaf[s]:
+                queue.append(s)
+
+    W = len(order)
+    child_bounds = np.zeros((W, arity, 6), np.float32)
+    # Empty slots get an inverted box so any slab test misses.
+    child_bounds[..., 0:3] = np.float32(np.inf)
+    child_bounds[..., 3:6] = np.float32(-np.inf)
+    child_entry = np.full((W, arity), INVALID_ENTRY, np.int32)
+
+    for w, sel in enumerate(children_of):
+        for j, s in enumerate(sel):
+            child_bounds[w, j, 0:3] = bvh.bmin[s]
+            child_bounds[w, j, 3:6] = bvh.bmax[s]
+            if is_leaf[s]:
+                child_entry[w, j] = encode_leaf_entry(int(bvh.first[s]),
+                                                      int(bvh.count[s]))
+            else:
+                child_entry[w, j] = wide_index_of_binary[s]
+
+    max_depth = _wide_depth(child_entry)
+    wide = WideBVH(child_bounds=child_bounds, child_entry=child_entry,
+                   refs=bvh.refs.astype(np.int32))
+    return wide, max_depth
+
+
+def _wide_depth(child_entry: np.ndarray) -> int:
+    """Depth of the wide tree (for traversal stack sizing)."""
+    W = child_entry.shape[0]
+    depth = np.ones(W, np.int32)
+    # Nodes are in BFS order, so a reverse sweep sees children first.
+    for w in range(W - 1, -1, -1):
+        for e in child_entry[w]:
+            if e != INVALID_ENTRY and e >= 0:
+                depth[w] = max(depth[w], 1 + depth[e])
+    return int(depth[0]) if W else 0
+
+
+def _half_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
+    d = np.maximum(bmax - bmin, 0.0)
+    return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]

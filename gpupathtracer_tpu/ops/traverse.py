@@ -1,0 +1,174 @@
+"""Vectorized wide-BVH traversal in JAX (XLA-compiled, TPU-first).
+
+Redesign of the reference's per-thread stack traversals (IfIfClosestHit /
+IfIfAnyHit, src/shaders/common/BVH.glsl:634-854): instead of divergent
+per-lane loops, the whole ray wavefront advances in lockstep through a
+bounded `lax.while_loop`. Each step pops one stack entry per lane; lanes
+holding an internal node gather its [8, 6] child-bounds block and slab-test
+all 8 children on the VPU (near-child-first push order, cf. BVH.glsl:707-717),
+lanes holding a leaf run up to `leaf_size` Moller-Trumbore tests. Finished
+lanes idle (masked) until the chunk drains — callers bound the waste by
+chunking the wavefront.
+
+The traversal stack is a fixed [N, DEPTH] int32 array: no recursion, no
+atomics, static shapes throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.bvh.types import INVALID_ENTRY
+from gpupathtracer_tpu.ops.intersect import mt_intersect
+
+_INVALID = jnp.int32(INVALID_ENTRY)
+
+
+class Hit(NamedTuple):
+    """Closest-hit record (role of HitInfo, src/math/Ray.h:7-21)."""
+
+    t: jnp.ndarray     # [N] f32; t_max on miss
+    prim: jnp.ndarray  # [N] i32 triangle id; -1 on miss
+    u: jnp.ndarray     # [N] f32 barycentric
+    v: jnp.ndarray     # [N] f32 barycentric
+
+    @property
+    def miss(self):
+        return self.prim < 0
+
+
+def _safe_inv(d):
+    """1/d with tiny components clamped (the reference relies on GLSL inf
+    semantics, BVH.glsl:367-391; we avoid inf*0 NaNs explicitly)."""
+    eps = 1e-12
+    mag = jnp.maximum(jnp.abs(d), eps)
+    return jnp.where(d >= 0, 1.0, -1.0) / mag
+
+
+def _slab_test(bounds, o, inv_d, t_cur):
+    """Vectorized madmann slab test over 8 children.
+
+    bounds [N,8,6]; returns (t_near [N,8], hit [N,8]). Empty slots carry
+    inverted boxes and always miss.
+    """
+    t0 = (bounds[..., 0:3] - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (bounds[..., 3:6] - o[:, None, :]) * inv_d[:, None, :]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmin <= tmax) & (tmax > 0.0) & (tmin < t_cur[:, None])
+    return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf), hit
+
+
+@partial(jax.jit, static_argnames=("stack_depth", "leaf_size", "any_hit_mode"))
+def _traverse(child_bounds, child_entry, refs, tri_geom,
+              o, d, t_max, active,
+              stack_depth: int, leaf_size: int, any_hit_mode: bool):
+    n = o.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    inv_d = _safe_inv(d)
+
+    stack = jnp.zeros((n, stack_depth), jnp.int32)  # root entry = node 0
+    sp = jnp.where(active, 1, 0).astype(jnp.int32)
+
+    t0_state = (stack, sp,
+                t_max.astype(jnp.float32),
+                jnp.full((n,), -1, jnp.int32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32))
+
+    def cond(state):
+        _, sp, *_ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, t, prim, u, v = state
+        live = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        entry = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        sp = jnp.where(live, sp - 1, sp)
+
+        is_leaf = live & (entry < 0)
+        is_node = live & (entry >= 0)
+
+        # ---- internal expansion -------------------------------------
+        nidx = jnp.where(is_node, entry, 0)
+        bounds = child_bounds[nidx]          # [N,8,6] single gather
+        centry = child_entry[nidx]           # [N,8]
+        tnear, chit = _slab_test(bounds, o, inv_d, t)
+        chit = chit & (centry != _INVALID) & is_node[:, None]
+
+        if any_hit_mode:
+            # Occlusion rays don't care about order: push unsorted.
+            s_entry, s_hit, s_near = centry, chit, tnear
+        else:
+            order = jnp.argsort(jnp.where(chit, tnear, jnp.inf), axis=1)
+            s_entry = jnp.take_along_axis(centry, order, axis=1)
+            s_hit = jnp.take_along_axis(chit, order, axis=1)
+            s_near = None
+
+        incl = jnp.cumsum(s_hit.astype(jnp.int32), axis=1)
+        total = incl[:, -1]
+        # Nearest child must end up on top: position = sp + total - incl_j.
+        pos = sp[:, None] + total[:, None] - incl
+        pos = jnp.where(s_hit, pos, stack_depth)  # out-of-range -> dropped
+        for j in range(8):
+            stack = stack.at[lane, pos[:, j]].set(s_entry[:, j], mode="drop")
+        sp = jnp.where(is_node, jnp.minimum(sp + total, stack_depth), sp)
+
+        # ---- leaf intersection ---------------------------------------
+        packed = jnp.where(is_leaf, -(entry + 1), 0)
+        first = packed >> 4
+        count = packed & 15
+        for k in range(leaf_size):
+            ok = is_leaf & (k < count)
+            ridx = jnp.where(ok, first + k, 0)
+            tidx = refs[ridx]
+            tri = tri_geom[tidx]
+            tt, tu, tv, th = mt_intersect(tri, o, d)
+            closer = ok & th & (tt < t)
+            t = jnp.where(closer, tt, t)
+            prim = jnp.where(closer, tidx, prim)
+            u = jnp.where(closer, tu, u)
+            v = jnp.where(closer, tv, v)
+
+        if any_hit_mode:
+            sp = jnp.where(prim >= 0, 0, sp)  # lane done on first hit
+
+        return stack, sp, t, prim, u, v
+
+    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, t0_state)
+    return t, prim, u, v
+
+
+def closest_hit(wbvh, tri_geom, o, d, t_max, active=None,
+                stack_depth: int = 48, leaf_size: int = 4) -> Hit:
+    """Closest-hit traversal (role of IfIfClosestHit, BVH.glsl:634-767).
+
+    Args:
+      wbvh: WideBVH of device arrays; tri_geom [T, 9] packed (p0, e1, e2).
+      o, d: [N, 3] rays; t_max: [N] max distance; active: [N] bool or None.
+    """
+    if active is None:
+        active = jnp.ones(o.shape[0], bool)
+    t, prim, u, v = _traverse(wbvh.child_bounds, wbvh.child_entry, wbvh.refs,
+                              tri_geom, o, d, t_max, active,
+                              stack_depth, leaf_size, False)
+    return Hit(t=t, prim=prim, u=u, v=v)
+
+
+def any_hit(wbvh, tri_geom, o, d, t_max, active=None,
+            stack_depth: int = 48, leaf_size: int = 4):
+    """Any-hit traversal (role of IfIfAnyHit, BVH.glsl:769-854).
+
+    Returns occluded [N] bool: True iff something lies within (0, t_max).
+    """
+    if active is None:
+        active = jnp.ones(o.shape[0], bool)
+    _, prim, _, _ = _traverse(wbvh.child_bounds, wbvh.child_entry, wbvh.refs,
+                              tri_geom, o, d, t_max, active,
+                              stack_depth, leaf_size, True)
+    return prim >= 0

@@ -1,0 +1,147 @@
+"""Device scene representation and the full ingest pipeline.
+
+Role of Scene::LoadScene (src/core/Scene.cpp:233-357): load geometry, build
+the SBVH, build the emitter CDF, pack material/triangle/light arrays, upload.
+On TPU "upload" = jnp device arrays in a pytree; the scene is replicated per
+chip and the ray/sample space is what gets sharded (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpupathtracer_tpu.bvh import BuildStats, WideBVH, build_wide_bvh
+from gpupathtracer_tpu.config import RenderConfig
+from gpupathtracer_tpu.ops.intersect import pack_tri_geom
+from gpupathtracer_tpu.scene.envmap import EnvMap, load_environment
+from gpupathtracer_tpu.scene.materials import MaterialDesc, pack_materials
+from gpupathtracer_tpu.scene.mesh import MeshData, TriangleSoup, build_triangle_soup
+
+
+class SceneData(NamedTuple):
+    """Everything the integrator needs, as device arrays (a pytree)."""
+
+    # Geometry
+    tri_geom: jnp.ndarray      # [T, 9] (p0, e1, e2) MT-packed
+    tri_normal: jnp.ndarray    # [T, 3] geometric normal
+    tri_uv: jnp.ndarray        # [T, 3, 2]
+    tri_mat: jnp.ndarray       # [T] i32
+    # Materials
+    mat_albedo: jnp.ndarray    # [M, 3]
+    mat_rough_g: jnp.ndarray   # [M]
+    mat_metallic: jnp.ndarray  # [M]
+    mat_emission: jnp.ndarray  # [M, 3]
+    # Emitters (cumulative-area CDF, Scene.cpp:296-331)
+    light_cdf: jnp.ndarray     # [L] cumulative areas (ascending)
+    light_tri: jnp.ndarray     # [L] triangle index
+    total_light_area: jnp.ndarray  # scalar f32 (0 => env-only lighting)
+    # Environment
+    env: EnvMap
+    # Acceleration structure
+    bvh: WideBVH               # jnp arrays
+
+
+@dataclass
+class SceneMeta:
+    """Static (non-traced) facts about a loaded scene."""
+
+    num_triangles: int
+    num_materials: int
+    num_lights: int
+    stack_depth: int           # traversal stack bound from the wide depth
+    leaf_size: int
+    bvh_stats: Optional[BuildStats] = None
+    name: str = ""
+
+
+def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
+               env: EnvMap, cfg: Optional[RenderConfig] = None,
+               name: str = "") -> Tuple[SceneData, SceneMeta]:
+    """Pack a triangle soup + materials + env into device arrays and build
+    the BVH. This is the one funnel every loader goes through."""
+    cfg = cfg or RenderConfig()
+    table = pack_materials(materials)
+
+    # Emitter CDF (Scene.cpp:296-331): Heron area per emissive triangle,
+    # sorted ascending, cumulative sum.
+    p0, p1, p2 = soup.vertices()
+    emissive_tri = table.emissive[soup.mat]
+    idx = np.nonzero(emissive_tri)[0].astype(np.int32)
+    if idx.size:
+        a = np.linalg.norm(p0[idx] - p2[idx], axis=1)
+        b = np.linalg.norm(p0[idx] - p1[idx], axis=1)
+        c = np.linalg.norm(p2[idx] - p1[idx], axis=1)
+        s = (a + b + c) / 2
+        area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
+        order = np.argsort(area, kind="stable")
+        idx = idx[order]
+        cdf = np.cumsum(area[order]).astype(np.float32)
+        total_area = float(cdf[-1])
+    else:  # pad so gathers stay valid; inf pdf zeroes NEE (see integrator)
+        idx = np.zeros(1, np.int32)
+        cdf = np.zeros(1, np.float32)
+        total_area = 0.0
+
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
+                                 arity=cfg.wide_arity, builder=cfg.bvh_builder,
+                                 spatial_splits=cfg.spatial_splits)
+    stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
+                      cfg.stack_depth * 4)
+
+    data = SceneData(
+        tri_geom=jnp.asarray(pack_tri_geom(soup.p0, soup.e1, soup.e2)),
+        tri_normal=jnp.asarray(soup.normal),
+        tri_uv=jnp.asarray(soup.uv),
+        tri_mat=jnp.asarray(soup.mat),
+        mat_albedo=jnp.asarray(table.albedo),
+        mat_rough_g=jnp.asarray(table.rough_g),
+        mat_metallic=jnp.asarray(table.metallic),
+        mat_emission=jnp.asarray(table.emission),
+        light_cdf=jnp.asarray(cdf),
+        light_tri=jnp.asarray(idx),
+        total_light_area=jnp.float32(total_area),
+        env=env,
+        bvh=WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
+                    child_entry=jnp.asarray(wide.child_entry),
+                    refs=jnp.asarray(wide.refs)),
+    )
+    meta = SceneMeta(
+        num_triangles=soup.num_triangles,
+        num_materials=len(materials),
+        num_lights=int(idx.size if total_area > 0 else 0),
+        stack_depth=stack_depth,
+        leaf_size=cfg.leaf_size,
+        bvh_stats=stats,
+        name=name,
+    )
+    return data, meta
+
+
+def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
+    """Full ingest: dispatch on scene_path, load env, pack, build BVH.
+
+    Supports "proc:<name>" procedural scenes, .obj, and .gltf/.glb.
+    """
+    path = cfg.scene_path
+    base_dir = os.path.dirname(os.path.abspath(path)) if os.path.sep in path else "."
+
+    if path.startswith("proc:"):
+        from gpupathtracer_tpu.scene.procedural import load_procedural
+        mesh, materials = load_procedural(path)
+    elif path.lower().endswith(".obj"):
+        from gpupathtracer_tpu.scene.objloader import load_obj
+        mesh, materials = load_obj(path)
+    elif path.lower().endswith((".gltf", ".glb")):
+        from gpupathtracer_tpu.scene.gltf import load_gltf
+        mesh, materials = load_gltf(path)
+    else:
+        raise ValueError(f"unsupported scene format: {path!r}")
+
+    env = load_environment(cfg.skybox, base_dir=base_dir)
+    soup = build_triangle_soup(mesh)
+    return pack_scene(soup, materials, env, cfg, name=path)

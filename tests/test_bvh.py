@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from gpupathtracer_tpu.bvh import INVALID_ENTRY, build_wide_bvh
+from gpupathtracer_tpu.bvh.numpy_builder import build_binary_bvh
+from gpupathtracer_tpu.bvh.types import decode_leaf_entry, encode_leaf_entry
+from gpupathtracer_tpu.bvh.wide import collapse_to_wide
+
+
+def random_tris(rng, n, spread=10.0, size=0.5):
+    base = rng.uniform(-spread, spread, (n, 1, 3))
+    offs = rng.uniform(-size, size, (n, 3, 3))
+    tri = (base + offs).astype(np.float32)
+    return tri[:, 0], tri[:, 1], tri[:, 2]
+
+
+def test_leaf_entry_roundtrip():
+    # Mechanizes the reference's leaf-encoding round-trip guard (BVH.cpp:470).
+    for first in [0, 1, 7, 123456, (1 << 26) - 1]:
+        for count in [1, 4, 15]:
+            e = encode_leaf_entry(first, count)
+            assert e < 0
+            f, c = decode_leaf_entry(e)
+            assert (f, c) == (first, count)
+
+
+def test_binary_bvh_invariants(rng):
+    p0, p1, p2 = random_tris(rng, 500)
+    bvh, stats = build_binary_bvh(p0, p1, p2, max_leaf=4)
+    # Every triangle reachable exactly once (object splits don't duplicate).
+    assert sorted(bvh.refs.tolist()) == list(range(500))
+    # AABB containment: each node box contains its leaf triangles...
+    tri_min = np.minimum(np.minimum(p0, p1), p2)
+    tri_max = np.maximum(np.maximum(p0, p1), p2)
+    is_leaf = bvh.count > 0
+    for n in np.nonzero(is_leaf)[0]:
+        sl = bvh.refs[bvh.first[n]:bvh.first[n] + bvh.count[n]]
+        assert (tri_min[sl] >= bvh.bmin[n] - 1e-4).all()
+        assert (tri_max[sl] <= bvh.bmax[n] + 1e-4).all()
+    # ...and each internal box contains its children.
+    for n in np.nonzero(~is_leaf)[0]:
+        for ch in (bvh.left[n], bvh.right[n]):
+            assert (bvh.bmin[ch] >= bvh.bmin[n] - 1e-4).all()
+            assert (bvh.bmax[ch] <= bvh.bmax[n] + 1e-4).all()
+    assert stats.num_leaves > 0 and stats.sah_cost > 0
+
+
+def test_wide_collapse_preserves_reachability(rng):
+    p0, p1, p2 = random_tris(rng, 300)
+    bvh, _ = build_binary_bvh(p0, p1, p2, max_leaf=4)
+    wide, depth = collapse_to_wide(bvh, arity=8)
+    # Walk the wide tree, collect all refs.
+    seen = []
+
+    def walk(w):
+        for j in range(8):
+            e = int(wide.child_entry[w, j])
+            if e == INVALID_ENTRY:
+                continue
+            if e < 0:
+                first, count = decode_leaf_entry(e)
+                seen.extend(wide.refs[first:first + count].tolist())
+            else:
+                walk(e)
+
+    walk(0)
+    assert sorted(seen) == list(range(300))
+    assert depth >= 1
+    # Child bounds match binary bounds they came from: containment check.
+    for w in range(wide.num_nodes):
+        for j in range(8):
+            e = int(wide.child_entry[w, j])
+            if e == INVALID_ENTRY:
+                continue
+            lo = wide.child_bounds[w, j, 0:3]
+            hi = wide.child_bounds[w, j, 3:6]
+            assert (lo <= hi + 1e-6).all()
+
+
+def test_build_wide_facade(rng):
+    p0, p1, p2 = random_tris(rng, 200)
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4)
+    assert stats.num_triangles == 200
+    assert stats.num_wide_nodes == wide.num_nodes
+    assert stats.max_depth >= 1
+
+
+def test_single_triangle():
+    p0 = np.array([[0, 0, 0]], np.float32)
+    p1 = np.array([[1, 0, 0]], np.float32)
+    p2 = np.array([[0, 1, 0]], np.float32)
+    wide, stats = build_wide_bvh(p0, p1, p2)
+    assert stats.num_refs == 1
+    assert wide.num_nodes >= 1
