@@ -1,0 +1,46 @@
+"""Per-lane material instances gathered from the scene's material table.
+
+Role of ConstructMaterialInstance (src/shaders/common/Material.glsl:39-54):
+roughness = max(G^2, 1e-4) (the stored G channel is sqrt of the TR-GGX
+roughness), alpha^2 (`roughness2`) = roughness^2, reflectance F0 =
+mix(0.04, albedo, metallic).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MaterialInstance(NamedTuple):
+    albedo: jnp.ndarray       # [N, 3]
+    roughness: jnp.ndarray    # [N]  (= alpha)
+    roughness2: jnp.ndarray   # [N]  (= alpha^2)
+    metallic: jnp.ndarray     # [N]
+    reflectance: jnp.ndarray  # [N, 3] F0
+    emission: jnp.ndarray     # [N, 3]
+
+
+def make_material_instance(scene, mat_id, uv=None) -> MaterialInstance:
+    """Gather material data for per-lane material ids [N].
+
+    `uv` enables texture-atlas albedo lookup once the atlas lands; constant
+    albedo otherwise (the reference routes constants through 1x1 textures,
+    Scene.cpp:100-104 — same value, no lookup needed).
+    """
+    albedo = scene.mat_albedo[mat_id]
+    g = scene.mat_rough_g[mat_id]
+    if uv is not None and hasattr(scene, "atlas") and scene.atlas is not None:
+        from gpupathtracer_tpu.ops.texture import sample_atlas
+        tex = scene.mat_albedo_tex[mat_id]
+        albedo = jnp.where((tex >= 0)[:, None],
+                           sample_atlas(scene.atlas, tex, uv), albedo)
+    roughness = jnp.maximum(g * g, 1e-4)
+    metallic = scene.mat_metallic[mat_id]
+    reflectance = (0.04 * (1.0 - metallic[..., None])
+                   + albedo * metallic[..., None])
+    return MaterialInstance(
+        albedo=albedo, roughness=roughness, roughness2=roughness * roughness,
+        metallic=metallic, reflectance=reflectance,
+        emission=scene.mat_emission[mat_id])

@@ -1,0 +1,168 @@
+"""Wavefront path-tracing integrator — the flagship model.
+
+TPU-first redesign of the reference's persistent-thread megakernel
+(src/shaders/Iterative.comp:214-307): the whole sample wavefront advances
+through a bounded `lax.while_loop` over bounces with SoA state in HBM; dead
+lanes are masked instead of atomically replaced (the refill role of
+InitRay's atomic pool is played by the caller tiling the film into chunks).
+Estimator semantics are replicated exactly:
+
+  - thin-lens primary rays with pixel jitter (InitRay, Iterative.comp:185-196)
+  - emissive/env accumulation with the MIS throughput rewrite for i>0 hits
+    (Iterative.comp:246-259, incl. the 0.5 lobe factor and neePdf =
+    0.5/totalLightArea carried from InitRay:203)
+  - NEE shadow ray + balance-heuristic weight (GenerateLightSample)
+  - two-lobe BSDF importance sampling; throughput *= f * ndi * w / pdf
+    (Iterative.comp:282-284)
+  - Russian roulette with luminance clamp + 64-bounce cap (291-300)
+  - 0.003 * normal hit offset (237), 0.001 * normal shadow offset (141)
+
+RNG is counter-based threefry keyed by (seed, sample, bounce): renders are
+bitwise reproducible, unlike the reference's stateful HybridTaus.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.math.camera import CameraParams, gen_rays
+from gpupathtracer_tpu.math.vecmath import avdot, dot
+from gpupathtracer_tpu.models.bsdf import compute_bsdf, mis_weight
+from gpupathtracer_tpu.models.interaction import make_interaction
+from gpupathtracer_tpu.models.materials import make_material_instance
+from gpupathtracer_tpu.models.microfacet import generate_importance_sample
+from gpupathtracer_tpu.models.nee import generate_light_sample
+from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
+from gpupathtracer_tpu.scene.envmap import sample_env
+
+T_MAX = 1e20
+
+
+@partial(jax.jit, static_argnames=("width", "height", "model", "max_bounces",
+                                   "stack_depth", "leaf_size", "nee"))
+def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
+                  width: int, height: int,
+                  model: str = "trowbridge_reitz",
+                  max_bounces: int = 64,
+                  stack_depth: int = 48,
+                  leaf_size: int = 4,
+                  nee: bool = True):
+    """Trace one sample for each pixel lane.
+
+    Args:
+      scene: SceneData pytree (device arrays).
+      cam: CameraParams.
+      pixel_x, pixel_y: [N] int32 pixel coordinates for each lane.
+      key: threefry key for this (sample, chunk).
+    Returns [N, 3] radiance contributions.
+    """
+    n = pixel_x.shape[0]
+    key, k_jitter, k_lens = jax.random.split(key, 3)
+    jitter = jax.random.uniform(k_jitter, (n, 2))
+    interp = (jnp.stack([pixel_x, pixel_y], axis=-1) + jitter) \
+        / jnp.array([width, height], jnp.float32)
+    lens_u = jax.random.uniform(k_lens, (n, 2))
+    ray_o, ray_d = gen_rays(cam, interp, lens_u)
+
+    nee_pdf = 0.5 / scene.total_light_area  # InitRay, Iterative.comp:203
+
+    class Carry(NamedTuple):
+        i: jnp.ndarray
+        key: jnp.ndarray
+        o: jnp.ndarray
+        d: jnp.ndarray
+        throughput: jnp.ndarray
+        contribution: jnp.ndarray
+        pdf0: jnp.ndarray
+        pdf1: jnp.ndarray
+        last_pos: jnp.ndarray
+        alive: jnp.ndarray
+
+    init = Carry(
+        i=jnp.int32(0), key=key, o=ray_o, d=ray_d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        contribution=jnp.zeros((n, 3), jnp.float32),
+        pdf0=jnp.ones((n,), jnp.float32),
+        pdf1=jnp.ones((n,), jnp.float32),
+        last_pos=ray_o,
+        alive=jnp.ones((n,), bool),
+    )
+
+    def cond(c: Carry):
+        return jnp.any(c.alive) & (c.i <= max_bounces + 1)
+
+    def body(c: Carry) -> Carry:
+        key, k = jax.random.split(c.key)
+        rnd = jax.random.uniform(k, (n, 7))
+
+        hit = closest_hit(scene.bvh, scene.tri_geom, c.o, c.d,
+                          jnp.full((n,), T_MAX, jnp.float32), active=c.alive,
+                          stack_depth=stack_depth, leaf_size=leaf_size)
+        miss = hit.prim < 0
+        prim = jnp.maximum(hit.prim, 0)
+
+        normal = scene.tri_normal[prim]
+        pos = c.o + c.d * hit.t[..., None] + 0.003 * normal
+        w = 1.0 - hit.u - hit.v
+        uvs = scene.tri_uv[prim]  # [N, 3, 2]
+        uv = (uvs[:, 1] * hit.u[..., None] + uvs[:, 2] * hit.v[..., None]
+              + uvs[:, 0] * w[..., None])
+        mat_id = jnp.where(miss, 0, scene.tri_mat[prim])
+        mat = make_material_instance(scene, mat_id, uv)
+        view_dir = -c.d
+        inter = make_interaction(normal, view_dir)
+
+        # --- L_e accumulation with MIS rewrite (Iterative.comp:246-259) ---
+        emission = jnp.where(miss[..., None], sample_env(scene.env, c.d),
+                             mat.emission)
+        delta = c.last_pos - pos
+        dist2 = jnp.maximum(dot(delta, delta), 1e-12)
+        old_mis = mis_weight(c.pdf0, c.pdf1)
+        factor = 0.5 * avdot(normal, view_dir) / dist2
+        p0n = c.pdf0 * factor
+        p1n = c.pdf1 * factor
+        idt_scale = p0n / (p0n + p1n + nee_pdf) / jnp.maximum(old_mis, 1e-30)
+        use_rewrite = (~miss) & (c.i != 0)
+        idt = c.throughput * jnp.where(use_rewrite, idt_scale, 1.0)[..., None]
+        contribution = c.contribution + jnp.where(
+            c.alive[..., None], idt * emission, 0.0)
+
+        alive = c.alive & ~miss
+
+        # --- NEE (Iterative.comp:272-280) ---
+        if nee:
+            ls = generate_light_sample(scene, pos, normal, mat, inter,
+                                       c.throughput, rnd[:, 0], rnd[:, 1:3],
+                                       model)
+            occluded = any_hit(scene.bvh, scene.tri_geom, ls.shadow_origin,
+                               ls.shadow_dir, ls.shadow_tmax, active=alive,
+                               stack_depth=stack_depth, leaf_size=leaf_size)
+            light_emission = scene.mat_emission[ls.light_mat]
+            contribution = contribution + jnp.where(
+                (alive & ~occluded)[..., None],
+                ls.throughput * light_emission, 0.0)
+
+        # --- BSDF sampling + throughput update (Iterative.comp:282-284) ---
+        inter_b, pdf0, pdf1 = generate_importance_sample(
+            mat, inter, rnd[:, 3], rnd[:, 4:6], model)
+        new_d = inter_b.incoming
+        throughput = (c.throughput * compute_bsdf(mat, inter_b, model)
+                      * (inter_b.ndi * mis_weight(pdf0, pdf1)
+                         / jnp.maximum(pdf0, 1e-30))[..., None])
+
+        # --- Russian roulette (Iterative.comp:291-300) ---
+        continuation = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
+        throughput = throughput / jnp.maximum(continuation, 1e-12)[..., None]
+        kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
+        alive = alive & ~kill
+
+        return Carry(i=c.i + 1, key=key, o=pos, d=new_d,
+                     throughput=throughput, contribution=contribution,
+                     pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.contribution

@@ -1,0 +1,151 @@
+"""Progressive renderer: frame orchestration.
+
+Role of src/core/Renderer.{h,cpp}: initialize (scene + BVH + film), render
+one sample per pixel per frame into an accumulation buffer, present
+(tonemap), reset on camera move, save screenshots, and run the ground-truth
+reference integrator.
+
+TPU redesign: the accumulation buffer lives on device in *Morton ray order*
+(the reference permutes pixel order on the fly, Iterative.comp:163-172; we
+bake the permutation once and unpermute only at present time). The film is
+padded to 8x8-aligned dimensions and cropped on present. The film is
+processed in fixed-size chunks — the static-shape replacement for the
+megakernel's atomic ray pool.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpupathtracer_tpu.config import RenderConfig
+from gpupathtracer_tpu.math.camera import CameraParams, generate_image_plane
+from gpupathtracer_tpu.models.reference import render_sample_reference
+from gpupathtracer_tpu.models.wavefront import render_sample
+from gpupathtracer_tpu.ops.tonemap import present as present_op
+from gpupathtracer_tpu.utils.io import save_png
+from gpupathtracer_tpu.utils.morton import ray_index_to_pixel
+from gpupathtracer_tpu.utils.timing import FrameStats, Timer
+
+
+def _align8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+class Renderer:
+    def __init__(self, cfg: RenderConfig, scene=None, meta=None) -> None:
+        self.cfg = cfg
+        if scene is None:
+            from gpupathtracer_tpu.scene import load_scene
+            scene, meta = load_scene(cfg)
+        self.scene = scene
+        self.meta = meta
+        self.width, self.height = cfg.width, cfg.height
+        self.pad_w, self.pad_h = _align8(cfg.width), _align8(cfg.height)
+        n = self.pad_w * self.pad_h
+
+        # Ray order: Morton within 8x8 blocks (Renderer.cpp:568-592 role).
+        fwd = ray_index_to_pixel(self.pad_w, self.pad_h)  # ray -> pixel linear
+        self._ray_to_pixel = jnp.asarray(fwd)
+        px = fwd % self.pad_w
+        py = fwd // self.pad_w
+        self.pixel_x = jnp.asarray(px.astype(np.float32))
+        self.pixel_y = jnp.asarray(py.astype(np.float32))
+
+        self.chunk = min(cfg.ray_chunk, n)
+        # Chunks must tile the film exactly.
+        while n % self.chunk != 0:
+            self.chunk //= 2
+        self.n_rays = n
+
+        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.num_samples = 0
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+        self.camera: CameraParams = generate_image_plane(cfg.camera)
+        self.stats = FrameStats()
+
+    # -- frame loop ---------------------------------------------------------
+
+    def set_camera(self, camera_cfg) -> None:
+        """Camera moved: regenerate basis and reset accumulation
+        (Program.cpp:115-120 behavior)."""
+        self.cfg.camera = camera_cfg
+        self.camera = generate_image_plane(camera_cfg)
+        self.reset_samples()
+
+    def render_frame(self, integrator: Optional[str] = None) -> None:
+        """Accumulate one sample per pixel (RenderFrame, Renderer.cpp:651-662)."""
+        integrator = integrator or self.cfg.integrator
+        timer = Timer(); timer.begin()
+        sample_key = jax.random.fold_in(self.base_key, self.num_samples)
+        out = []
+        for c0 in range(0, self.n_rays, self.chunk):
+            key = jax.random.fold_in(sample_key, c0 // self.chunk)
+            sl = slice(c0, c0 + self.chunk)
+            out.append(self._render_chunk(integrator, sl, key))
+        contribution = jnp.concatenate(out, axis=0)
+        self.accum = self.accum + contribution
+        self.accum.block_until_ready()
+        self.num_samples += 1
+        # Ray count estimate: primary + shadow per bounce is dynamic; count
+        # primaries for the conservative FrameStats figure.
+        self.stats.add_frame(timer.end(), self.n_rays)
+
+    def _render_chunk(self, integrator: str, sl: slice, key):
+        px = self.pixel_x[sl]
+        py = self.pixel_y[sl]
+        kwargs = dict(width=self.pad_w, height=self.pad_h,
+                      max_bounces=self.cfg.max_bounces,
+                      stack_depth=self.meta.stack_depth,
+                      leaf_size=self.meta.leaf_size,
+                      model=self.cfg.microfacet)
+        if integrator == "wavefront":
+            return render_sample(self.scene, self.camera, px, py, key,
+                                 nee=self.cfg.nee_enabled, **kwargs)
+        if integrator == "reference":
+            return render_sample_reference(self.scene, self.camera, px, py,
+                                           key, **kwargs)
+        raise ValueError(f"unknown integrator {integrator!r}")
+
+    def reset_samples(self) -> None:
+        """ResetSamples (Renderer.cpp:687-691)."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.num_samples = 0
+
+    # -- output ---------------------------------------------------------------
+
+    def film_hdr(self) -> np.ndarray:
+        """Mean radiance per pixel, [H, W, 3] float32 (pre-tonemap)."""
+        flat = jnp.zeros((self.pad_h * self.pad_w, 3), jnp.float32)
+        flat = flat.at[self._ray_to_pixel].set(self.accum)
+        img = np.asarray(flat).reshape(self.pad_h, self.pad_w, 3)
+        img = img[:self.height, :self.width]
+        return img / max(self.num_samples, 1)
+
+    def present(self) -> np.ndarray:
+        """Tonemapped LDR frame [H, W, 3] in [0, 1] (Present.frag role).
+        Row 0 is the bottom scanline (GL convention); save with flip_y=True."""
+        flat = jnp.zeros((self.pad_h * self.pad_w, 3), jnp.float32)
+        flat = flat.at[self._ray_to_pixel].set(self.accum)
+        img = present_op(flat.reshape(self.pad_h, self.pad_w, 3),
+                         max(self.num_samples, 1),
+                         exposure=self.cfg.exposure,
+                         tonemap=self.cfg.tonemap)
+        return np.asarray(img)[:self.height, :self.width]
+
+    def save_screenshot(self, path: str) -> str:
+        """SaveScreenshot (Renderer.cpp:697-705): tonemapped PNG, y-flipped."""
+        return save_png(path, self.present(), flip_y=True)
+
+    def render(self, spp: int, integrator: Optional[str] = None,
+               verbose: bool = False) -> np.ndarray:
+        """Convenience: accumulate `spp` samples and return the LDR frame."""
+        for s in range(spp):
+            self.render_frame(integrator)
+            if verbose and (s + 1) % max(spp // 10, 1) == 0:
+                print(f"  sample {s + 1}/{spp} ({self.stats.avg_fps:.2f} fps)")
+        return self.present()

@@ -60,8 +60,9 @@ def sample_env(env: EnvMap, directions) -> jnp.ndarray:
     fy = (y - y0)[..., None]
     xi0 = jnp.mod(x0.astype(jnp.int32), w)        # wrap in longitude
     xi1 = jnp.mod(xi0 + 1, w)
-    yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)  # clamp in latitude
-    yi1 = jnp.clip(yi0 + 1, 0, h - 1)
+    yi = y0.astype(jnp.int32)
+    yi0 = jnp.clip(yi, 0, h - 1)        # clamp in latitude
+    yi1 = jnp.clip(yi + 1, 0, h - 1)
     c00 = img[yi0, xi0]
     c01 = img[yi0, xi1]
     c10 = img[yi1, xi0]

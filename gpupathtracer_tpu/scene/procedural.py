@@ -48,7 +48,7 @@ class SceneBuilder:
         self._voffset += len(verts)
 
     def add_quad(self, a, b, c, d, mat: int) -> None:
-        """Quad with corners a,b,c,d (counter-clockwise)."""
+        """Quad with corners a,b,c,d; normal = cross(b-a, c-a)."""
         v = np.asarray([a, b, c, d], np.float32)
         self.add_mesh(v, np.asarray([[0, 1, 2], [0, 2, 3]]), mat)
 
@@ -81,13 +81,14 @@ class SceneBuilder:
         tris = []
         for i in range(segments):
             j = (i + 1) % segments
-            tris += [[i, j, segments + j], [i, segments + j, segments + i]]
+            # Outward-facing sides: cross(up, tangential) points radially out.
+            tris += [[i, segments + i, segments + j], [i, segments + j, j]]
         if cap:
             verts = np.concatenate([verts, [[cx, cy + height, cz]], [[cx, cy, cz]]])
             tc, bc = 2 * segments, 2 * segments + 1
             for i in range(segments):
                 j = (i + 1) % segments
-                tris += [[segments + i, segments + j, tc], [j, i, bc]]
+                tris += [[segments + j, segments + i, tc], [i, j, bc]]
         self.add_mesh(np.asarray(verts, np.float32), np.asarray(tris), mat)
 
     def add_icosphere(self, center, radius: float, mat: int, subdiv: int = 3) -> None:
@@ -161,16 +162,16 @@ def cornell_box():
     green = sb.add_material(name="green", albedo=(0.12, 0.45, 0.15))
     light = sb.add_material(name="light", albedo=(0.0, 0.0, 0.0),
                             emission=(15.0, 15.0, 15.0))
-    s = 5.5  # box half-ish scale (x: 0..s, y: 0..s, z: 0..s)
-    sb.add_quad([0, 0, 0], [s, 0, 0], [s, 0, s], [0, 0, s], white)        # floor
-    sb.add_quad([0, s, 0], [0, s, s], [s, s, s], [s, s, 0], white)        # ceiling
-    sb.add_quad([0, 0, s], [s, 0, s], [s, s, s], [0, s, s], white)        # back
-    sb.add_quad([0, 0, 0], [0, 0, s], [0, s, s], [0, s, 0], red)          # left
-    sb.add_quad([s, 0, 0], [s, s, 0], [s, s, s], [s, 0, s], green)        # right
+    s = 5.5  # box scale (x: 0..s, y: 0..s, z: 0..s); normals face inward
+    sb.add_quad([0, 0, 0], [0, 0, s], [s, 0, s], [s, 0, 0], white)        # floor +y
+    sb.add_quad([0, s, 0], [s, s, 0], [s, s, s], [0, s, s], white)        # ceiling -y
+    sb.add_quad([0, 0, s], [0, s, s], [s, s, s], [s, 0, s], white)        # back -z
+    sb.add_quad([0, 0, 0], [0, s, 0], [0, s, s], [0, 0, s], red)          # left +x
+    sb.add_quad([s, 0, 0], [s, 0, s], [s, s, s], [s, s, 0], green)        # right -x
     c, hw = s / 2, s * 0.24
     eps = 0.01
-    sb.add_quad([c - hw, s - eps, c - hw], [c - hw, s - eps, c + hw],
-                [c + hw, s - eps, c + hw], [c + hw, s - eps, c - hw], light)
+    sb.add_quad([c - hw, s - eps, c - hw], [c + hw, s - eps, c - hw],
+                [c + hw, s - eps, c + hw], [c - hw, s - eps, c + hw], light)
     sb.add_box([c - 2.0, 0, c + 0.3], [c - 0.4, 3.3, c + 1.9], white)     # tall
     sb.add_box([c + 0.2, 0, c - 1.9], [c + 1.8, 1.65, c - 0.3], white)    # short
     return sb.build()
@@ -183,7 +184,7 @@ def bunny_scene(subdiv: int = 4):
     body = sb.add_material(name="bunny", albedo=(0.75, 0.71, 0.68),
                            roughness_g=0.6)
     g = 50.0
-    sb.add_quad([-g, 0, -g], [g, 0, -g], [g, 0, g], [-g, 0, g], grey)
+    sb.add_quad([-g, 0, -g], [-g, 0, g], [g, 0, g], [g, 0, -g], grey)  # +y up
     sb.add_icosphere([0.0, 1.0, 0.0], 1.0, body, subdiv=subdiv)
     sb.add_icosphere([0.45, 2.1, 0.0], 0.45, body, subdiv=max(subdiv - 1, 1))
     return sb.build()
@@ -208,8 +209,8 @@ def table_scene():
     sb.add_box([0.8, 2.5, -0.6], [1.8, 3.3, 0.4], cloth)
     sb.add_cylinder([0.0, 2.5, 0.9], 0.25, 1.0, wood, segments=24)
     eps = 0.02
-    sb.add_quad([-2, 7 - eps, -2], [-2, 7 - eps, 2], [2, 7 - eps, 2],
-                [2, 7 - eps, -2], light)
+    sb.add_quad([-2, 7 - eps, -2], [2, 7 - eps, -2], [2, 7 - eps, 2],
+                [-2, 7 - eps, 2], light)  # -y, shines down
     return sb.build()
 
 
@@ -248,9 +249,9 @@ def sponza_like(target_tris: int = 260_000):
         x = -L + (2 * L) * (i + 0.5) / 6
         sb.add_quad([x - 1.2, 8.5, 0.0], [x + 1.2, 8.5, 0.0],
                     [x + 1.2, 5.5, 0.3], [x - 1.2, 5.5, 0.3], cloth)
-    # Ceiling aperture light.
-    sb.add_quad([-L * 0.5, H - 0.02, -W_ * 0.3], [-L * 0.5, H - 0.02, W_ * 0.3],
-                [L * 0.5, H - 0.02, W_ * 0.3], [L * 0.5, H - 0.02, -W_ * 0.3],
+    # Ceiling aperture light (-y, shines down).
+    sb.add_quad([-L * 0.5, H - 0.02, -W_ * 0.3], [L * 0.5, H - 0.02, -W_ * 0.3],
+                [L * 0.5, H - 0.02, W_ * 0.3], [-L * 0.5, H - 0.02, W_ * 0.3],
                 light)
     # Ornamental sphere field to reach target triangle count.
     count_so_far = sum(len(t) for t in sb.triangles)
