@@ -1,0 +1,148 @@
+"""Command-line renderer — the application layer.
+
+Role of src/Program.cpp + scene.txt: load a scene config, render
+progressively, save screenshots, report average FPS / Mrays. Headless
+(renders to PNG) since TPU hosts have no display; the reference's
+interactive WASD loop maps to --orbit/--position/--rotation flags plus
+progressive sample accumulation.
+
+Usage:
+  python -m gpupathtracer_tpu.cli scene.txt --spp 64 --out render.png
+  python -m gpupathtracer_tpu.cli proc:cornell --spp 16 --width 512 --height 512
+  python -m gpupathtracer_tpu.cli proc:sponza --integrator reference --spp 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+
+def build_config(args) -> "RenderConfig":
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig, load_scene_txt
+
+    if args.scene.endswith(".txt"):
+        cfg = load_scene_txt(args.scene, args.width, args.height)
+    else:
+        cfg = RenderConfig(scene_path=args.scene, skybox=args.skybox,
+                           width=args.width, height=args.height)
+        cfg.camera = CameraConfig(aspect=args.width / args.height)
+    if args.position:
+        cfg.camera.position = tuple(float(x) for x in args.position.split(","))
+    if args.rotation:
+        rot = [float(x) for x in args.rotation.split(",")]
+        cfg.camera.yaw = rot[0]
+        cfg.camera.pitch = rot[1] if len(rot) > 1 else 0.0
+    cfg.camera.fov = math.radians(args.fov)
+    cfg.camera.focal_distance = args.focus
+    cfg.camera.aperture = args.aperture
+    cfg.integrator = args.integrator
+    cfg.microfacet = args.microfacet
+    cfg.max_bounces = args.max_bounces
+    cfg.nee_enabled = not args.no_nee
+    cfg.seed = args.seed
+    cfg.exposure = args.exposure
+    cfg.tonemap = "none" if args.no_tonemap else "uncharted2"
+    cfg.cache_enabled = not args.no_cache
+    cfg.bvh_builder = args.bvh_builder
+    if args.chunk:
+        cfg.ray_chunk = args.chunk
+    return cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="gpupathtracer_tpu",
+        description="TPU-native progressive path tracer")
+    p.add_argument("scene", help="scene.txt, .obj, .gltf/.glb, or proc:<name>")
+    p.add_argument("--spp", type=int, default=16, help="samples per pixel")
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--skybox", default="GENERATE COLOR WHITE")
+    p.add_argument("--position", default=None, help="camera x,y,z")
+    p.add_argument("--rotation", default=None, help="camera yaw,pitch (radians)")
+    p.add_argument("--fov", type=float, default=45.0, help="vertical FoV, degrees")
+    p.add_argument("--focus", type=float, default=90.0, help="focal distance")
+    p.add_argument("--aperture", type=float, default=0.0)
+    p.add_argument("--integrator", default="wavefront",
+                   choices=["wavefront", "reference"])
+    p.add_argument("--microfacet", default="trowbridge_reitz",
+                   choices=["trowbridge_reitz", "beckmann", "blinn_phong"])
+    p.add_argument("--max-bounces", type=int, default=64)
+    p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--no-tonemap", action="store_true")
+    p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--exposure", type=float, default=1.68)
+    p.add_argument("--bvh-builder", default="auto",
+                   choices=["auto", "cpp", "numpy"])
+    p.add_argument("--chunk", type=int, default=0, help="rays per chunk")
+    p.add_argument("--hdr-out", default=None,
+                   help="also dump the raw mean-radiance film as .npy")
+    p.add_argument("--stats-json", default=None,
+                   help="write render stats JSON here")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="save a progressive screenshot every N samples")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (default: auto)")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = build_config(args)
+    from gpupathtracer_tpu.render import Renderer
+    from gpupathtracer_tpu.utils.io import timestamped_name
+
+    t0 = time.time()
+    r = Renderer(cfg)
+    print(f"scene: {r.meta.num_triangles} tris, {r.meta.num_materials} "
+          f"materials, {r.meta.num_lights} lights "
+          f"({time.time() - t0:.1f}s)", file=sys.stderr)
+    if r.meta.bvh_stats:
+        print(r.meta.bvh_stats.report(), file=sys.stderr)
+
+    out = args.out or timestamped_name(
+        os.path.splitext(os.path.basename(args.scene))[0].replace(":", "_"))
+
+    for s in range(args.spp):
+        r.render_frame()
+        if s == 0:
+            print(f"first sample (incl. compile): "
+                  f"{r.stats.frame_times[0]:.1f}s", file=sys.stderr)
+        if args.save_every and (s + 1) % args.save_every == 0:
+            r.save_screenshot(out)
+            print(f"  {s + 1}/{args.spp} spp -> {out} "
+                  f"({r.stats.mrays_per_sec:.1f} Mrays/s)", file=sys.stderr)
+
+    path = r.save_screenshot(out)
+    elapsed = time.time() - t0
+    print(f"{args.spp} spp in {sum(r.stats.frame_times):.1f}s render "
+          f"({elapsed:.1f}s total) | {r.stats.report()}", file=sys.stderr)
+    print(path)
+
+    if args.hdr_out:
+        import numpy as np
+        np.save(args.hdr_out, r.film_hdr())
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump({
+                "spp": args.spp,
+                "render_seconds": sum(r.stats.frame_times),
+                "avg_fps": r.stats.avg_fps,
+                "mrays_per_sec": r.stats.mrays_per_sec,
+                "rays": r.stats.rays_traced,
+                "triangles": r.meta.num_triangles,
+                "config": json.loads(cfg.to_json()),
+            }, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,7 +75,7 @@ class RenderConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     # Caching ----------------------------------------------------------------
     cache_dir: str = "cache"               # scene/BVH disk cache (role of Texture.cpp:35-88)
-    cache_enabled: bool = True
+    cache_enabled: bool = False            # opt-in (CLI/bench enable it)
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)

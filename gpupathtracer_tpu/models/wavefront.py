@@ -58,7 +58,9 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
       cam: CameraParams.
       pixel_x, pixel_y: [N] int32 pixel coordinates for each lane.
       key: threefry key for this (sample, chunk).
-    Returns [N, 3] radiance contributions.
+    Returns ([N, 3] radiance contributions, scalar i32 rays traced) — the
+    ray counter plays the role of the reference's device-side globalNextRay
+    statistics for Mrays/s reporting (SURVEY.md §5 tracing).
     """
     n = pixel_x.shape[0]
     key, k_jitter, k_lens = jax.random.split(key, 3)
@@ -81,6 +83,7 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
         pdf1: jnp.ndarray
         last_pos: jnp.ndarray
         alive: jnp.ndarray
+        rays: jnp.ndarray
 
     init = Carry(
         i=jnp.int32(0), key=key, o=ray_o, d=ray_d,
@@ -90,6 +93,7 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
         pdf1=jnp.ones((n,), jnp.float32),
         last_pos=ray_o,
         alive=jnp.ones((n,), bool),
+        rays=jnp.int32(0),
     )
 
     def cond(c: Carry):
@@ -98,6 +102,7 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
     def body(c: Carry) -> Carry:
         key, k = jax.random.split(c.key)
         rnd = jax.random.uniform(k, (n, 7))
+        rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
         hit = closest_hit(scene.bvh, scene.tri_geom, c.o, c.d,
                           jnp.full((n,), T_MAX, jnp.float32), active=c.alive,
@@ -135,6 +140,7 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
         # --- NEE (Iterative.comp:272-280) ---
         if nee:
+            rays = rays + jnp.sum(alive, dtype=jnp.int32)
             ls = generate_light_sample(scene, pos, normal, mat, inter,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
                                        model)
@@ -162,7 +168,8 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
         return Carry(i=c.i + 1, key=key, o=pos, d=new_d,
                      throughput=throughput, contribution=contribution,
-                     pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive)
+                     pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive,
+                     rays=rays)
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.contribution
+    return final.contribution, final.rays

@@ -1,0 +1,76 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference is single-GPU; its only "collectives" are one atomicAdd ray
+counter and memory barriers (SURVEY.md §2.5). The TPU-native scaling story:
+
+  - the *scene* (triangles, BVH, materials, env) is replicated per chip;
+  - the *pixel space* is sharded over the mesh axis "pixels" (each chip owns
+    a contiguous slice of the Morton-ordered ray space);
+  - the *sample space* is sharded over the mesh axis "samples" (each chip
+    renders an independent threefry stream of the same pixels);
+  - per-pixel radiance is `psum`ed over the samples axis — the one
+    collective, riding ICI — and the per-frame ray counter is `psum`ed over
+    the whole mesh.
+
+One sharded frame therefore accumulates `samples_axis` spp. A v5e-8 maps
+naturally to mesh (2, 4) or (1, 8); both compile on a CPU-device mesh for
+testing (tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpupathtracer_tpu.models.wavefront import render_sample
+
+
+def make_device_mesh(shape: Sequence[int],
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ("samples", "pixels") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(tuple(shape))
+    return Mesh(arr, axis_names=("samples", "pixels")[-len(shape):])
+
+
+def render_sample_sharded(mesh: Mesh, scene, cam, pixel_x, pixel_y, key,
+                          **static) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render one multi-chip frame.
+
+    pixel_x/pixel_y are the FULL ray-ordered pixel arrays [N]; N must divide
+    evenly by the "pixels" axis size. Returns ([N, 3] radiance summed over
+    the samples axis, scalar rays traced across the mesh). Callers treat the
+    result as `samples_axis_size` accumulated samples.
+    """
+    axis_names = mesh.axis_names
+    has_samples = "samples" in axis_names
+    pixel_spec = P("pixels") if "pixels" in axis_names else P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), pixel_spec, pixel_spec, P()),
+             out_specs=(pixel_spec, P()),
+             check_vma=False)
+    def step(scene, cam, px, py, key):
+        if has_samples:
+            sample_idx = jax.lax.axis_index("samples")
+            key = jax.random.fold_in(key, sample_idx)
+        if "pixels" in axis_names:
+            key = jax.random.fold_in(key, jax.lax.axis_index("pixels") + 1311)
+        contribution, rays = render_sample(scene, cam, px, py, key, **static)
+        if has_samples:
+            contribution = jax.lax.psum(contribution, "samples")
+            rays = jax.lax.psum(rays, "samples")
+        if "pixels" in axis_names:
+            rays = jax.lax.psum(rays, "pixels")
+        return contribution, rays
+
+    return step(scene, cam, pixel_x, pixel_y, key)

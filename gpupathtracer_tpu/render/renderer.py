@@ -82,20 +82,21 @@ class Renderer:
         integrator = integrator or self.cfg.integrator
         timer = Timer(); timer.begin()
         sample_key = jax.random.fold_in(self.base_key, self.num_samples)
-        out = []
+        out, rays = [], 0
         for c0 in range(0, self.n_rays, self.chunk):
             key = jax.random.fold_in(sample_key, c0 // self.chunk)
             sl = slice(c0, c0 + self.chunk)
-            out.append(self._render_chunk(integrator, sl, key))
+            contribution, r = self._render_chunk(integrator, sl, key)
+            out.append(contribution)
+            rays += int(r)
         contribution = jnp.concatenate(out, axis=0)
         self.accum = self.accum + contribution
         self.accum.block_until_ready()
         self.num_samples += 1
-        # Ray count estimate: primary + shadow per bounce is dynamic; count
-        # primaries for the conservative FrameStats figure.
-        self.stats.add_frame(timer.end(), self.n_rays)
+        self.stats.add_frame(timer.end(), rays)
 
     def _render_chunk(self, integrator: str, sl: slice, key):
+        """Returns ([C,3] contribution, rays traced)."""
         px = self.pixel_x[sl]
         py = self.pixel_y[sl]
         kwargs = dict(width=self.pad_w, height=self.pad_h,
@@ -107,8 +108,9 @@ class Renderer:
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled, **kwargs)
         if integrator == "reference":
-            return render_sample_reference(self.scene, self.camera, px, py,
-                                           key, **kwargs)
+            out = render_sample_reference(self.scene, self.camera, px, py,
+                                          key, **kwargs)
+            return out, self.chunk
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def reset_samples(self) -> None:

@@ -59,18 +59,11 @@ class SceneMeta:
     name: str = ""
 
 
-def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
-               env: EnvMap, cfg: Optional[RenderConfig] = None,
-               name: str = "") -> Tuple[SceneData, SceneMeta]:
-    """Pack a triangle soup + materials + env into device arrays and build
-    the BVH. This is the one funnel every loader goes through."""
-    cfg = cfg or RenderConfig()
-    table = pack_materials(materials)
-
-    # Emitter CDF (Scene.cpp:296-331): Heron area per emissive triangle,
-    # sorted ascending, cumulative sum.
+def build_emitter_cdf(soup: TriangleSoup, emissive_mask: np.ndarray):
+    """Emitter CDF (Scene.cpp:296-331): Heron area per emissive triangle,
+    sorted ascending, cumulative sum."""
     p0, p1, p2 = soup.vertices()
-    emissive_tri = table.emissive[soup.mat]
+    emissive_tri = emissive_mask[soup.mat]
     idx = np.nonzero(emissive_tri)[0].astype(np.int32)
     if idx.size:
         a = np.linalg.norm(p0[idx] - p2[idx], axis=1)
@@ -86,10 +79,27 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
         idx = np.zeros(1, np.int32)
         cdf = np.zeros(1, np.float32)
         total_area = 0.0
+    return idx, cdf, total_area
 
+
+def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
+               env: EnvMap, cfg: Optional[RenderConfig] = None,
+               name: str = "") -> Tuple[SceneData, SceneMeta]:
+    """Pack a triangle soup + materials + env into device arrays and build
+    the BVH. This is the one funnel every loader goes through."""
+    cfg = cfg or RenderConfig()
+    table = pack_materials(materials)
+    idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
+    p0, p1, p2 = soup.vertices()
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
                                  spatial_splits=cfg.spatial_splits)
+    return _upload(soup, table, idx, cdf, total_area, wide, stats, env,
+                   cfg, name)
+
+
+def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
+            name: str) -> Tuple[SceneData, SceneMeta]:
     stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
                       cfg.stack_depth * 4)
 
@@ -112,7 +122,7 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
     )
     meta = SceneMeta(
         num_triangles=soup.num_triangles,
-        num_materials=len(materials),
+        num_materials=int(table.albedo.shape[0]),
         num_lights=int(idx.size if total_area > 0 else 0),
         stack_depth=stack_depth,
         leaf_size=cfg.leaf_size,
@@ -125,10 +135,39 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
 def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
     """Full ingest: dispatch on scene_path, load env, pack, build BVH.
 
-    Supports "proc:<name>" procedural scenes, .obj, and .gltf/.glb.
+    Supports "proc:<name>" procedural scenes, .obj, and .gltf/.glb. The
+    packed scene + BVH is disk-cached (role of the reference's decoded-image
+    cache, Texture.cpp:35-88) because SBVH build dominates startup.
     """
     path = cfg.scene_path
     base_dir = os.path.dirname(os.path.abspath(path)) if os.path.sep in path else "."
+    env = load_environment(cfg.skybox, base_dir=base_dir)
+
+    from gpupathtracer_tpu.scene import cache as scache
+    from gpupathtracer_tpu.scene.materials import MaterialTable
+    from gpupathtracer_tpu.bvh.types import WideBVH as _Wide
+    cached = scache.load_scene_cache(cfg)
+    if cached is not None:
+        soup = TriangleSoup(p0=cached["p0"], e1=cached["e1"], e2=cached["e2"],
+                            normal=cached["normal"], uv=cached["uv"],
+                            mat=cached["mat"])
+        table = MaterialTable(albedo=cached["m_albedo"],
+                              rough_g=cached["m_rough"],
+                              metallic=cached["m_metal"],
+                              emission=cached["m_emission"],
+                              emissive=cached["m_emissive"],
+                              albedo_tex=cached["m_tex"])
+        wide = _Wide(child_bounds=cached["child_bounds"],
+                     child_entry=cached["child_entry"], refs=cached["refs"])
+        st = cached["stats"]
+        stats = BuildStats(num_triangles=int(st[0]), num_refs=int(st[1]),
+                           num_binary_nodes=int(st[2]),
+                           num_wide_nodes=int(st[3]), num_leaves=int(st[4]),
+                           max_depth=int(st[5]), spatial_splits=int(st[6]),
+                           sah_cost=float(cached["sah"]))
+        return _upload(soup, table, cached["light_idx"], cached["light_cdf"],
+                       float(cached["total_area"]), wide, stats, env, cfg,
+                       name=path)
 
     if path.startswith("proc:"):
         from gpupathtracer_tpu.scene.procedural import load_procedural
@@ -142,6 +181,15 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
     else:
         raise ValueError(f"unsupported scene format: {path!r}")
 
-    env = load_environment(cfg.skybox, base_dir=base_dir)
     soup = build_triangle_soup(mesh)
-    return pack_scene(soup, materials, env, cfg, name=path)
+    table = pack_materials(materials)
+    idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
+    p0, p1, p2 = soup.vertices()
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
+                                 arity=cfg.wide_arity, builder=cfg.bvh_builder,
+                                 spatial_splits=cfg.spatial_splits)
+    if cfg.cache_enabled:
+        scache.save_scene_cache(cfg, soup, table, idx, cdf, total_area,
+                                wide, stats)
+    return _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
+                   name=path)

@@ -92,3 +92,58 @@ def test_single_triangle():
     wide, stats = build_wide_bvh(p0, p1, p2)
     assert stats.num_refs == 1
     assert wide.num_nodes >= 1
+
+
+def test_cpp_builder_matches_invariants(rng):
+    """Native SBVH builder: reachability + clipped-box overlap invariants."""
+    pytest.importorskip("ctypes")
+    from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
+
+    p0, p1, p2 = random_tris(rng, 800)
+    bvh, stats = build_sbvh_cpp(p0, p1, p2, max_leaf=4)
+    # Every triangle appears at least once (spatial splits may duplicate).
+    assert sorted(set(bvh.refs.tolist())) == list(range(800))
+    assert stats.num_refs >= 800
+    assert stats.max_depth < 60
+    # SBVH leaf boxes hold *clipped* references: the box must overlap the
+    # triangle's AABB (full containment doesn't hold after clipping).
+    tri_min = np.minimum(np.minimum(p0, p1), p2)
+    tri_max = np.maximum(np.maximum(p0, p1), p2)
+    for n in np.nonzero(bvh.count > 0)[0]:
+        sl = bvh.refs[bvh.first[n]:bvh.first[n] + bvh.count[n]]
+        assert (tri_min[sl] <= bvh.bmax[n] + 1e-4).all()
+        assert (tri_max[sl] >= bvh.bmin[n] - 1e-4).all()
+    # Internal containment still holds.
+    for n in np.nonzero(bvh.count == 0)[0]:
+        for ch in (bvh.left[n], bvh.right[n]):
+            assert (bvh.bmin[ch] >= bvh.bmin[n] - 1e-4).all()
+            assert (bvh.bmax[ch] <= bvh.bmax[n] + 1e-4).all()
+
+
+def test_cpp_builder_traversal_equivalence(rng):
+    """Closest hits through the SBVH match brute force."""
+    import jax.numpy as jnp
+    from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
+    from gpupathtracer_tpu.bvh.types import WideBVH
+    from gpupathtracer_tpu.ops.intersect import (brute_force_closest_hit,
+                                                 pack_tri_geom)
+    from gpupathtracer_tpu.ops.traverse import closest_hit
+
+    p0, p1, p2 = random_tris(rng, 600)
+    binary, stats = build_sbvh_cpp(p0, p1, p2, max_leaf=4)
+    wide, depth = collapse_to_wide(binary, arity=8)
+    dev = WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
+                  child_entry=jnp.asarray(wide.child_entry),
+                  refs=jnp.asarray(wide.refs))
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    o = rng.uniform(-8, 8, (256, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((256,), 1e20, jnp.float32)
+    bt, bp, _, _ = brute_force_closest_hit(geom, o, d, tmax)
+    h = closest_hit(dev, geom, o, d, tmax, stack_depth=depth * 7 + 2)
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(bt),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(h.prim < 0), np.asarray(bp < 0))
