@@ -66,6 +66,8 @@ class RenderConfig:
     stack_depth: int = 48
     wide_arity: int = 8                    # children per wide-BVH node
     leaf_size: int = 4                     # max triangles per wide-BVH leaf
+    traversal: str = "packet"              # "packet" (TPU fast path) | "perray"
+    packet_size: int = 128                 # rays per shared-stack packet
     bvh_builder: str = "auto"              # "auto" | "cpp" | "numpy"
     spatial_splits: bool = True            # SBVH spatial splits (C++ builder)
     use_float32: bool = True

@@ -26,20 +26,23 @@ from gpupathtracer_tpu.math.vecmath import construct_tbn, dot
 from gpupathtracer_tpu.models.interaction import make_interaction, set_incoming
 from gpupathtracer_tpu.models.materials import make_material_instance
 from gpupathtracer_tpu.models.bsdf import compute_bsdf
-from gpupathtracer_tpu.ops.traverse import closest_hit
+from gpupathtracer_tpu.ops.traverse import trace_closest
 from gpupathtracer_tpu.scene.envmap import sample_env
 
 T_MAX = 1e20
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces",
-                                   "stack_depth", "leaf_size", "model"))
+                                   "stack_depth", "leaf_size", "model",
+                                   "traversal", "packet_size"))
 def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
                             width: int, height: int,
                             max_bounces: int = 64,
                             stack_depth: int = 48,
                             leaf_size: int = 4,
-                            model: str = "trowbridge_reitz"):
+                            model: str = "trowbridge_reitz",
+                            traversal: str = "packet",
+                            packet_size: int = 128):
     """One uniform-hemisphere path per lane; returns [N, 3] radiance."""
     n = pixel_x.shape[0]
     key, k_jitter, k_lens = jax.random.split(key, 3)
@@ -72,9 +75,10 @@ def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
         key, k = jax.random.split(c.key)
         rnd = jax.random.uniform(k, (n, 3))
 
-        hit = closest_hit(scene.bvh, scene.tri_geom, c.o, c.d,
-                          jnp.full((n,), T_MAX, jnp.float32), active=c.alive,
-                          stack_depth=stack_depth, leaf_size=leaf_size)
+        hit = trace_closest(scene, c.o, c.d,
+                            jnp.full((n,), T_MAX, jnp.float32), c.alive,
+                            stack_depth=stack_depth, leaf_size=leaf_size,
+                            traversal=traversal, packet_size=packet_size)
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
         normal = scene.tri_normal[prim]

@@ -36,21 +36,21 @@ from gpupathtracer_tpu.models.interaction import make_interaction
 from gpupathtracer_tpu.models.materials import make_material_instance
 from gpupathtracer_tpu.models.microfacet import generate_importance_sample
 from gpupathtracer_tpu.models.nee import generate_light_sample
-from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
+from gpupathtracer_tpu.ops.traverse import trace_closest, trace_occluded
 from gpupathtracer_tpu.scene.envmap import sample_env
 
 T_MAX = 1e20
 
 
-@partial(jax.jit, static_argnames=("width", "height", "model", "max_bounces",
-                                   "stack_depth", "leaf_size", "nee"))
-def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
-                  width: int, height: int,
-                  model: str = "trowbridge_reitz",
-                  max_bounces: int = 64,
-                  stack_depth: int = 48,
-                  leaf_size: int = 4,
-                  nee: bool = True):
+def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
+                       width: int, height: int,
+                       model: str = "trowbridge_reitz",
+                       max_bounces: int = 64,
+                       stack_depth: int = 48,
+                       leaf_size: int = 4,
+                       nee: bool = True,
+                       traversal: str = "packet",
+                       packet_size: int = 128):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -104,9 +104,10 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
         rnd = jax.random.uniform(k, (n, 7))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
-        hit = closest_hit(scene.bvh, scene.tri_geom, c.o, c.d,
-                          jnp.full((n,), T_MAX, jnp.float32), active=c.alive,
-                          stack_depth=stack_depth, leaf_size=leaf_size)
+        hit = trace_closest(scene, c.o, c.d,
+                            jnp.full((n,), T_MAX, jnp.float32), c.alive,
+                            stack_depth=stack_depth, leaf_size=leaf_size,
+                            traversal=traversal, packet_size=packet_size)
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
@@ -144,9 +145,12 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
             ls = generate_light_sample(scene, pos, normal, mat, inter,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
                                        model)
-            occluded = any_hit(scene.bvh, scene.tri_geom, ls.shadow_origin,
-                               ls.shadow_dir, ls.shadow_tmax, active=alive,
-                               stack_depth=stack_depth, leaf_size=leaf_size)
+            occluded = trace_occluded(scene, ls.shadow_origin, ls.shadow_dir,
+                                      ls.shadow_tmax, alive,
+                                      stack_depth=stack_depth,
+                                      leaf_size=leaf_size,
+                                      traversal=traversal,
+                                      packet_size=packet_size)
             light_emission = scene.mat_emission[ls.light_mat]
             contribution = contribution + jnp.where(
                 (alive & ~occluded)[..., None],
@@ -173,3 +177,8 @@ def render_sample(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
     final = jax.lax.while_loop(cond, body, init)
     return final.contribution, final.rays
+
+
+render_sample = partial(jax.jit, static_argnames=(
+    "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
+    "nee", "traversal", "packet_size"))(render_sample_impl)

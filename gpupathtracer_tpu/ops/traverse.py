@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from gpupathtracer_tpu.bvh.types import INVALID_ENTRY
 from gpupathtracer_tpu.ops.intersect import mt_intersect
 
-_INVALID = jnp.int32(INVALID_ENTRY)
+_INVALID = INVALID_ENTRY  # plain int: jnp module constants leak mesh avals
 
 
 class Hit(NamedTuple):
@@ -63,7 +63,6 @@ def _slab_test(bounds, o, inv_d, t_cur):
     return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf), hit
 
 
-@partial(jax.jit, static_argnames=("stack_depth", "leaf_size", "any_hit_mode"))
 def _traverse(child_bounds, child_entry, refs, tri_geom,
               o, d, t_max, active,
               stack_depth: int, leaf_size: int, any_hit_mode: bool):
@@ -172,3 +171,30 @@ def any_hit(wbvh, tri_geom, o, d, t_max, active=None,
                               tri_geom, o, d, t_max, active,
                               stack_depth, leaf_size, True)
     return prim >= 0
+
+
+def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
+                  leaf_size: int, traversal: str = "packet",
+                  packet_size: int = 128) -> Hit:
+    """Dispatch between the per-ray and packet traversal implementations."""
+    if traversal == "packet":
+        from gpupathtracer_tpu.ops.packet_traverse import closest_hit_packets
+        return closest_hit_packets(scene.bvh, o, d, t_max, active,
+                                   stack_depth=stack_depth,
+                                   leaf_size=leaf_size,
+                                   packet_size=packet_size)
+    return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
+                       stack_depth=stack_depth, leaf_size=leaf_size)
+
+
+def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
+                   leaf_size: int, traversal: str = "packet",
+                   packet_size: int = 128):
+    """Dispatch any-hit/occlusion query."""
+    if traversal == "packet":
+        from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets
+        return any_hit_packets(scene.bvh, o, d, t_max, active,
+                               stack_depth=stack_depth, leaf_size=leaf_size,
+                               packet_size=packet_size)
+    return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
+                   stack_depth=stack_depth, leaf_size=leaf_size)

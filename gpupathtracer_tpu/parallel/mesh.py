@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gpupathtracer_tpu.models.wavefront import render_sample
+from gpupathtracer_tpu.models.wavefront import render_sample_impl
 
 
 def make_device_mesh(shape: Sequence[int],
@@ -65,7 +65,8 @@ def render_sample_sharded(mesh: Mesh, scene, cam, pixel_x, pixel_y, key,
             key = jax.random.fold_in(key, sample_idx)
         if "pixels" in axis_names:
             key = jax.random.fold_in(key, jax.lax.axis_index("pixels") + 1311)
-        contribution, rays = render_sample(scene, cam, px, py, key, **static)
+        contribution, rays = render_sample_impl(scene, cam, px, py, key,
+                                                **static)
         if has_samples:
             contribution = jax.lax.psum(contribution, "samples")
             rays = jax.lax.psum(rays, "samples")

@@ -103,7 +103,9 @@ class Renderer:
                       max_bounces=self.cfg.max_bounces,
                       stack_depth=self.meta.stack_depth,
                       leaf_size=self.meta.leaf_size,
-                      model=self.cfg.microfacet)
+                      model=self.cfg.microfacet,
+                      traversal=self.cfg.traversal,
+                      packet_size=min(self.cfg.packet_size, self.chunk))
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled, **kwargs)

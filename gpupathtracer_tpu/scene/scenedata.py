@@ -102,6 +102,10 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
             name: str) -> Tuple[SceneData, SceneMeta]:
     stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
                       cfg.stack_depth * 4)
+    if wide.node_rows is None:
+        from gpupathtracer_tpu.bvh.wide import pack_for_packets
+        wide = pack_for_packets(wide, soup.p0, soup.e1, soup.e2,
+                                leaf_size=cfg.leaf_size)
 
     data = SceneData(
         tri_geom=jnp.asarray(pack_tri_geom(soup.p0, soup.e1, soup.e2)),
@@ -118,7 +122,10 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         env=env,
         bvh=WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
                     child_entry=jnp.asarray(wide.child_entry),
-                    refs=jnp.asarray(wide.refs)),
+                    refs=jnp.asarray(wide.refs),
+                    node_rows=jnp.asarray(wide.node_rows),
+                    packet_entry=jnp.asarray(wide.packet_entry),
+                    ),
     )
     meta = SceneMeta(
         num_triangles=soup.num_triangles,

@@ -102,4 +102,5 @@ def test_pixel_shards_cover_film(cornell):
         c, _ = render_sample(scene, cam, px[sl], py[sl], k,
                              **_static(cfg, meta))
         ref[sl] = np.asarray(c)
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # Sharded and unsharded compiles may reassociate floats slightly.
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=1e-5)
