@@ -22,20 +22,23 @@ class MaterialInstance(NamedTuple):
     emission: jnp.ndarray     # [N, 3]
 
 
-def make_material_instance(scene, mat_id, uv=None) -> MaterialInstance:
+def make_material_instance(scene, mat_id, uv=None,
+                           textured: bool = False) -> MaterialInstance:
     """Gather material data for per-lane material ids [N].
 
-    `uv` enables texture-atlas albedo lookup once the atlas lands; constant
-    albedo otherwise (the reference routes constants through 1x1 textures,
-    Scene.cpp:100-104 — same value, no lookup needed).
+    With `textured` (static) and `uv`, albedo comes from the texture atlas
+    for materials that have a map; constant albedo otherwise (the reference
+    routes constants through 1x1 textures, Scene.cpp:100-104 — same value,
+    no lookup needed, so untextured scenes compile without atlas gathers).
     """
     albedo = scene.mat_albedo[mat_id]
     g = scene.mat_rough_g[mat_id]
-    if uv is not None and hasattr(scene, "atlas") and scene.atlas is not None:
+    if textured and uv is not None:
         from gpupathtracer_tpu.ops.texture import sample_atlas
         tex = scene.mat_albedo_tex[mat_id]
         albedo = jnp.where((tex >= 0)[:, None],
-                           sample_atlas(scene.atlas, tex, uv), albedo)
+                           sample_atlas(scene.atlas_image, scene.atlas_rects,
+                                        tex, uv), albedo)
     roughness = jnp.maximum(g * g, 1e-4)
     metallic = scene.mat_metallic[mat_id]
     reflectance = (0.04 * (1.0 - metallic[..., None])

@@ -30,7 +30,7 @@ class LightSample(NamedTuple):
     shadow_dir: jnp.ndarray      # [N, 3]
     shadow_tmax: jnp.ndarray     # [N]
     throughput: jnp.ndarray      # [N, 3] (already MIS-weighted, / pdf)
-    light_mat: jnp.ndarray       # [N] i32 emitter material id
+    emission: jnp.ndarray        # [N, 3] emitter radiance
 
 
 def sample_light_vertex(scene, u_select, u_tri):
@@ -48,18 +48,53 @@ def sample_light_vertex(scene, u_select, u_tri):
     return pos, scene.tri_normal[tri], scene.tri_mat[tri]
 
 
+def sample_sun_vertex(scene, vertex_pos, u_disk):
+    """RandomSunVertex (Iterative.comp:93-110): a disk of radius
+    tan(angular_radius) centered one unit along sunDir from the vertex."""
+    from gpupathtracer_tpu.math.vecmath import construct_tbn
+    n = -scene.sun_dir
+    t, b, nn = construct_tbn(jnp.broadcast_to(n, vertex_pos.shape))
+    radius = scene.sun_radius * jnp.sqrt(u_disk[..., 0])
+    phi = 2.0 * jnp.pi * u_disk[..., 1]
+    disk = (t * (radius * jnp.cos(phi))[..., None]
+            + b * (radius * jnp.sin(phi))[..., None])
+    pos = vertex_pos + scene.sun_dir[None, :] + disk
+    return pos, jnp.broadcast_to(n, vertex_pos.shape)
+
+
 def generate_light_sample(scene, vertex_pos, vertex_normal,
                           mat: MaterialInstance, inter: SurfaceInteraction,
                           throughput, u_select, u_tri,
-                          model: str = "trowbridge_reitz") -> LightSample:
-    """GenerateLightSample (Iterative.comp:113-147), area-light branch."""
+                          model: str = "trowbridge_reitz",
+                          sun: bool = False,
+                          u_pick=None) -> LightSample:
+    """GenerateLightSample (Iterative.comp:113-147). With `sun` (the
+    reference's SUN_LIGHT branch, compiled out there by default): 50/50
+    pick between the emitter CDF and the sun disk, pdfs 0.5/totalLightArea
+    and 0.5/sunArea (Iterative.comp:116-126)."""
     light_pos, light_n, light_mat = sample_light_vertex(scene, u_select, u_tri)
+    emission = scene.mat_emission[light_mat]
     delta = light_pos - vertex_pos
     radius = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
-    light_dir = delta / radius[..., None]
-
-    inter_l = set_incoming(inter, light_dir)
     light_pdf = 1.0 / scene.total_light_area  # inf when no emitters -> NEE = 0
+    shadow_tmax = radius - 0.005
+
+    if sun:
+        sun_pos, sun_n = sample_sun_vertex(scene, vertex_pos, u_tri)
+        sun_area = jnp.pi * scene.sun_radius * scene.sun_radius
+        pick_area = u_pick > 0.5  # Iterative.comp:117-118
+        light_pos = jnp.where(pick_area[..., None], light_pos, sun_pos)
+        light_n = jnp.where(pick_area[..., None], light_n, sun_n)
+        emission = jnp.where(pick_area[..., None], emission,
+                             scene.sun_emission[None, :])
+        delta = light_pos - vertex_pos
+        radius = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
+        light_pdf = jnp.where(pick_area, 0.5 / scene.total_light_area,
+                              0.5 / sun_area)
+        shadow_tmax = jnp.where(pick_area, radius - 0.005, 1e20)
+
+    light_dir = delta / radius[..., None]
+    inter_l = set_incoming(inter, light_dir)
     cos_light = avdot(light_n, -light_dir)
     r2 = radius * radius
     bounce_pdf = pdf_direction(mat, inter_l, model) * cos_light / r2  # Veach eq. 9
@@ -71,7 +106,7 @@ def generate_light_sample(scene, vertex_pos, vertex_normal,
     return LightSample(
         shadow_origin=vertex_pos + 0.001 * inter.normal,
         shadow_dir=light_dir,
-        shadow_tmax=radius - 0.005,
+        shadow_tmax=shadow_tmax,
         throughput=light_throughput,
-        light_mat=light_mat,
+        emission=emission,
     )

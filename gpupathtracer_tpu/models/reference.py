@@ -34,7 +34,8 @@ T_MAX = 1e20
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces",
                                    "stack_depth", "leaf_size", "model",
-                                   "traversal", "packet_size"))
+                                   "traversal", "packet_size", "textured",
+                                   "sun"))
 def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
                             width: int, height: int,
                             max_bounces: int = 64,
@@ -42,7 +43,9 @@ def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
                             leaf_size: int = 4,
                             model: str = "trowbridge_reitz",
                             traversal: str = "packet",
-                            packet_size: int = 128):
+                            packet_size: int = 128,
+                            textured: bool = False,
+                            sun: bool = False):
     """One uniform-hemisphere path per lane; returns [N, 3] radiance."""
     n = pixel_x.shape[0]
     key, k_jitter, k_lens = jax.random.split(key, 3)
@@ -86,7 +89,14 @@ def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
         # Emissive (or env) hit terminates the path (Renderer.cpp:1014-1030).
         is_emitter = miss | emissive_mat[mat_id]
-        emission = jnp.where(miss[..., None], sample_env(scene.env, c.d),
+        env_emission = sample_env(scene.env, c.d)
+        if sun:
+            # Sun disk on env hit (Renderer.cpp:1016-1021).
+            in_disk = jnp.sum(c.d * scene.sun_dir[None, :], axis=-1) \
+                > scene.sun_max_dot
+            env_emission = env_emission + jnp.where(
+                in_disk[..., None], scene.sun_emission[None, :], 0.0)
+        emission = jnp.where(miss[..., None], env_emission,
                              scene.mat_emission[mat_id])
         radiance = c.radiance + jnp.where((c.alive & is_emitter)[..., None],
                                           c.throughput * emission, 0.0)
@@ -102,7 +112,7 @@ def render_sample_reference(scene, cam: CameraParams, pixel_x, pixel_y, key,
         uvs = scene.tri_uv[prim]
         uv = (uvs[:, 1] * hit.u[..., None] + uvs[:, 2] * hit.v[..., None]
               + uvs[:, 0] * w[..., None])
-        mat = make_material_instance(scene, mat_id, uv)
+        mat = make_material_instance(scene, mat_id, uv, textured)
         inter = set_incoming(make_interaction(normal, -c.d), new_d)
         # throughput *= BRDF * 2*pi * ndl (uniform-hemisphere pdf = 1/(2*pi),
         # Renderer.cpp:1052).

@@ -50,7 +50,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        leaf_size: int = 4,
                        nee: bool = True,
                        traversal: str = "packet",
-                       packet_size: int = 128):
+                       packet_size: int = 128,
+                       textured: bool = False,
+                       sun: bool = False):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -101,7 +103,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
     def body(c: Carry) -> Carry:
         key, k = jax.random.split(c.key)
-        rnd = jax.random.uniform(k, (n, 7))
+        rnd = jax.random.uniform(k, (n, 8))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
         hit = trace_closest(scene, c.o, c.d,
@@ -118,7 +120,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         uv = (uvs[:, 1] * hit.u[..., None] + uvs[:, 2] * hit.v[..., None]
               + uvs[:, 0] * w[..., None])
         mat_id = jnp.where(miss, 0, scene.tri_mat[prim])
-        mat = make_material_instance(scene, mat_id, uv)
+        mat = make_material_instance(scene, mat_id, uv, textured)
         view_dir = -c.d
         inter = make_interaction(normal, view_dir)
 
@@ -144,17 +146,16 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             rays = rays + jnp.sum(alive, dtype=jnp.int32)
             ls = generate_light_sample(scene, pos, normal, mat, inter,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
-                                       model)
+                                       model, sun=sun, u_pick=rnd[:, 7])
             occluded = trace_occluded(scene, ls.shadow_origin, ls.shadow_dir,
                                       ls.shadow_tmax, alive,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
                                       traversal=traversal,
                                       packet_size=packet_size)
-            light_emission = scene.mat_emission[ls.light_mat]
             contribution = contribution + jnp.where(
                 (alive & ~occluded)[..., None],
-                ls.throughput * light_emission, 0.0)
+                ls.throughput * ls.emission, 0.0)
 
         # --- BSDF sampling + throughput update (Iterative.comp:282-284) ---
         inter_b, pdf0, pdf1 = generate_importance_sample(
@@ -181,4 +182,4 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "packet_size"))(render_sample_impl)
+    "nee", "traversal", "packet_size", "textured", "sun"))(render_sample_impl)

@@ -173,6 +173,14 @@ def any_hit(wbvh, tri_geom, o, d, t_max, active=None,
     return prim >= 0
 
 
+def _fit_packet_size(n: int, packet_size: int) -> int:
+    """Largest packet size <= requested that tiles n exactly."""
+    ps = max(min(packet_size, n), 1)
+    while n % ps:
+        ps -= 1 if ps % 2 else ps // 2  # try halving, then linear fallback
+    return ps
+
+
 def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                   leaf_size: int, traversal: str = "packet",
                   packet_size: int = 128) -> Hit:
@@ -182,7 +190,8 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
         return closest_hit_packets(scene.bvh, o, d, t_max, active,
                                    stack_depth=stack_depth,
                                    leaf_size=leaf_size,
-                                   packet_size=packet_size)
+                                   packet_size=_fit_packet_size(
+                                       o.shape[0], packet_size))
     return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                        stack_depth=stack_depth, leaf_size=leaf_size)
 
@@ -195,6 +204,7 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets
         return any_hit_packets(scene.bvh, o, d, t_max, active,
                                stack_depth=stack_depth, leaf_size=leaf_size,
-                               packet_size=packet_size)
+                               packet_size=_fit_packet_size(
+                                   o.shape[0], packet_size))
     return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                    stack_depth=stack_depth, leaf_size=leaf_size)

@@ -105,7 +105,9 @@ class Renderer:
                       leaf_size=self.meta.leaf_size,
                       model=self.cfg.microfacet,
                       traversal=self.cfg.traversal,
-                      packet_size=min(self.cfg.packet_size, self.chunk))
+                      packet_size=min(self.cfg.packet_size, self.chunk),
+                      textured=self.meta.has_textures,
+                      sun=self.cfg.sun_enabled)
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled, **kwargs)

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CACHE_VERSION = 3  # bump when array formats change
+CACHE_VERSION = 4  # bump when array formats change
 
 
 def _scene_fingerprint(cfg) -> str:
@@ -33,11 +33,15 @@ def cache_path(cfg) -> str:
 
 
 def save_scene_cache(cfg, soup, table, light_idx, light_cdf, total_area,
-                     wide, stats) -> None:
+                     wide, stats, atlas_img=None, atlas_rects=None) -> None:
     path = cache_path(cfg)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    if atlas_img is None:
+        atlas_img = np.zeros((4, 4, 3), np.float32)
+        atlas_rects = np.asarray([[0, 0, 4, 4]], np.int32)
     np.savez_compressed(
         path,
+        atlas_img=atlas_img, atlas_rects=atlas_rects,
         p0=soup.p0, e1=soup.e1, e2=soup.e2, normal=soup.normal,
         uv=soup.uv, mat=soup.mat,
         m_albedo=table.albedo, m_rough=table.rough_g, m_metal=table.metallic,

@@ -40,6 +40,15 @@ class SceneData(NamedTuple):
     light_cdf: jnp.ndarray     # [L] cumulative areas (ascending)
     light_tri: jnp.ndarray     # [L] triangle index
     total_light_area: jnp.ndarray  # scalar f32 (0 => env-only lighting)
+    # Texture atlas (role of bindless textures, Material.glsl:43-44)
+    atlas_image: jnp.ndarray   # [AH, AW, 3] f32
+    atlas_rects: jnp.ndarray   # [S, 4] i32 (x, y, w, h)
+    mat_albedo_tex: jnp.ndarray  # [M] i32 atlas slot, -1 = constant albedo
+    # Sun disk (Renderer.cpp:23-26; SUN_LIGHT NEE branch Iterative.comp:84-126)
+    sun_dir: jnp.ndarray       # [3] unit, pointing *from* scene *to* sun
+    sun_emission: jnp.ndarray  # [3]
+    sun_radius: jnp.ndarray    # scalar: tan(angular radius)
+    sun_max_dot: jnp.ndarray   # scalar: cos(angular radius)
     # Environment
     env: EnvMap
     # Acceleration structure
@@ -55,6 +64,7 @@ class SceneMeta:
     num_lights: int
     stack_depth: int           # traversal stack bound from the wide depth
     leaf_size: int
+    has_textures: bool = False
     bvh_stats: Optional[BuildStats] = None
     name: str = ""
 
@@ -88,18 +98,29 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
     """Pack a triangle soup + materials + env into device arrays and build
     the BVH. This is the one funnel every loader goes through."""
     cfg = cfg or RenderConfig()
-    table = pack_materials(materials)
+    atlas_img, atlas_rects, slots = _build_atlas_for(materials, ".")
+    table = pack_materials(materials, atlas_slots=slots)
     idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
     p0, p1, p2 = soup.vertices()
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
                                  spatial_splits=cfg.spatial_splits)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env,
-                   cfg, name)
+                   cfg, name, atlas_img, atlas_rects)
+
+
+def _build_atlas_for(materials, base_dir):
+    from gpupathtracer_tpu.scene.textures import build_atlas
+    paths = sorted({m.albedo_texture for m in materials if m.albedo_texture})
+    return build_atlas(paths, base_dir)
 
 
 def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
-            name: str) -> Tuple[SceneData, SceneMeta]:
+            name: str, atlas_img=None, atlas_rects=None
+            ) -> Tuple[SceneData, SceneMeta]:
+    if atlas_img is None:
+        atlas_img = np.zeros((4, 4, 3), np.float32)
+        atlas_rects = np.asarray([[0, 0, 4, 4]], np.int32)
     stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
                       cfg.stack_depth * 4)
     if wide.node_rows is None:
@@ -119,6 +140,14 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         light_cdf=jnp.asarray(cdf),
         light_tri=jnp.asarray(idx),
         total_light_area=jnp.float32(total_area),
+        atlas_image=jnp.asarray(atlas_img),
+        atlas_rects=jnp.asarray(atlas_rects),
+        mat_albedo_tex=jnp.asarray(table.albedo_tex),
+        sun_dir=jnp.asarray(np.asarray(cfg.sun_direction, np.float32)
+                            / max(np.linalg.norm(cfg.sun_direction), 1e-9)),
+        sun_emission=jnp.asarray(np.asarray(cfg.sun_emission, np.float32)),
+        sun_radius=jnp.float32(np.tan(cfg.sun_angle)),
+        sun_max_dot=jnp.float32(np.cos(cfg.sun_angle)),
         env=env,
         bvh=WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
                     child_entry=jnp.asarray(wide.child_entry),
@@ -133,6 +162,7 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         num_lights=int(idx.size if total_area > 0 else 0),
         stack_depth=stack_depth,
         leaf_size=cfg.leaf_size,
+        has_textures=bool((table.albedo_tex >= 0).any()),
         bvh_stats=stats,
         name=name,
     )
@@ -174,7 +204,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
                            sah_cost=float(cached["sah"]))
         return _upload(soup, table, cached["light_idx"], cached["light_cdf"],
                        float(cached["total_area"]), wide, stats, env, cfg,
-                       name=path)
+                       name=path, atlas_img=cached.get("atlas_img"),
+                       atlas_rects=cached.get("atlas_rects"))
 
     if path.startswith("proc:"):
         from gpupathtracer_tpu.scene.procedural import load_procedural
@@ -189,7 +220,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
         raise ValueError(f"unsupported scene format: {path!r}")
 
     soup = build_triangle_soup(mesh)
-    table = pack_materials(materials)
+    atlas_img, atlas_rects, slots = _build_atlas_for(materials, base_dir)
+    table = pack_materials(materials, atlas_slots=slots)
     idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
     p0, p1, p2 = soup.vertices()
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
@@ -197,6 +229,6 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
                                  spatial_splits=cfg.spatial_splits)
     if cfg.cache_enabled:
         scache.save_scene_cache(cfg, soup, table, idx, cdf, total_area,
-                                wide, stats)
+                                wide, stats, atlas_img, atlas_rects)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
-                   name=path)
+                   name=path, atlas_img=atlas_img, atlas_rects=atlas_rects)

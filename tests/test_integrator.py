@@ -89,3 +89,38 @@ def test_reset_samples(cornell_renderer):
     r.reset_samples()
     assert r.num_samples == 0
     assert float(np.abs(np.asarray(r.accum)).max()) == 0.0
+
+
+def test_sun_light():
+    """SUN_LIGHT branch: a sun-lit ground plane renders consistently in
+    both integrators (NEE-sun in wavefront vs sun-disk-on-miss in the
+    reference integrator)."""
+    cfg = RenderConfig(scene_path="proc:bunny", skybox="GENERATE COLOR BLACK",
+                       width=24, height=24, ray_chunk=24 * 24,
+                       sun_enabled=True, max_bounces=8)
+    cfg.camera = CameraConfig(position=(0.0, 4.0, -12.0), yaw=math.pi,
+                              pitch=-0.25, fov=math.radians(45), aspect=1.0)
+    r = Renderer(cfg)
+    for _ in range(12):
+        r.render_frame("wavefront")
+    img_w = r.film_hdr()
+    assert np.isfinite(img_w).all()
+    assert img_w.max() > 0.05  # sun actually lights the scene
+
+    r2 = Renderer(cfg, scene=r.scene, meta=r.meta)
+    for _ in range(48):
+        r2.render_frame("reference")
+    img_r = r2.film_hdr()
+    mw, mr = img_w.mean(), img_r.mean()
+    assert abs(mw - mr) / (mr + 1e-9) < 0.25, (mw, mr)
+
+
+def test_sun_disabled_is_dark():
+    cfg = RenderConfig(scene_path="proc:bunny", skybox="GENERATE COLOR BLACK",
+                       width=16, height=16, ray_chunk=256, sun_enabled=False,
+                       max_bounces=4)
+    cfg.camera = CameraConfig(position=(0.0, 4.0, -12.0), yaw=math.pi,
+                              pitch=-0.25, fov=math.radians(45), aspect=1.0)
+    r = Renderer(cfg)
+    r.render_frame("wavefront")
+    assert r.film_hdr().max() < 1e-6  # black env, no lights, no sun
