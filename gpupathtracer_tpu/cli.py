@@ -90,6 +90,10 @@ def main(argv=None) -> int:
                    help="save a progressive screenshot every N samples")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (default: auto)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save a resumable checkpoint here when done")
+    p.add_argument("--resume", default=None,
+                   help="resume a progressive render from this checkpoint")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -101,7 +105,12 @@ def main(argv=None) -> int:
     from gpupathtracer_tpu.utils.io import timestamped_name
 
     t0 = time.time()
-    r = Renderer(cfg)
+    if args.resume:
+        from gpupathtracer_tpu.render.checkpoint import load_checkpoint
+        r = load_checkpoint(args.resume)
+        print(f"resumed at {r.num_samples} spp", file=sys.stderr)
+    else:
+        r = Renderer(cfg)
     print(f"scene: {r.meta.num_triangles} tris, {r.meta.num_materials} "
           f"materials, {r.meta.num_lights} lights "
           f"({time.time() - t0:.1f}s)", file=sys.stderr)
@@ -122,6 +131,10 @@ def main(argv=None) -> int:
                   f"({r.stats.mrays_per_sec:.1f} Mrays/s)", file=sys.stderr)
 
     path = r.save_screenshot(out)
+    if args.checkpoint:
+        from gpupathtracer_tpu.render.checkpoint import save_checkpoint
+        save_checkpoint(r, args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
     elapsed = time.time() - t0
     print(f"{args.spp} spp in {sum(r.stats.frame_times):.1f}s render "
           f"({elapsed:.1f}s total) | {r.stats.report()}", file=sys.stderr)
