@@ -31,6 +31,17 @@ def build_config(args) -> "RenderConfig":
         cfg = RenderConfig(scene_path=args.scene, skybox=args.skybox,
                            width=args.width, height=args.height)
         cfg.camera = CameraConfig(aspect=args.width / args.height)
+    if args.scene.startswith("proc:") and not args.position:
+        # Procedural scenes ship a framing (overridable with flags).
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        dc = default_camera(args.scene)
+        if dc:
+            pos, yaw, pitch, fov, aperture, focus = dc
+            cfg.camera.position = pos
+            cfg.camera.yaw, cfg.camera.pitch = yaw, pitch
+            args.fov = fov if args.fov == 45.0 else args.fov
+            args.aperture = aperture if args.aperture == 0.0 else args.aperture
+            args.focus = focus if args.focus == 90.0 else args.focus
     if args.position:
         cfg.camera.position = tuple(float(x) for x in args.position.split(","))
     if args.rotation:
@@ -70,7 +81,7 @@ def main(argv=None) -> int:
     p.add_argument("--focus", type=float, default=90.0, help="focal distance")
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--integrator", default="wavefront",
-                   choices=["wavefront", "reference"])
+                   choices=["wavefront", "direct", "reference"])
     p.add_argument("--microfacet", default="trowbridge_reitz",
                    choices=["trowbridge_reitz", "beckmann", "blinn_phong"])
     p.add_argument("--max-bounces", type=int, default=64)

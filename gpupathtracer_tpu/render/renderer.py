@@ -114,6 +114,12 @@ class Renderer:
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled, **kwargs)
+        if integrator == "direct":
+            # Real-time mode (BASELINE config 3): primary hit + NEE + one
+            # BSDF continuation for specular/env, no deeper bounces.
+            kwargs["max_bounces"] = 1
+            return render_sample(self.scene, self.camera, px, py, key,
+                                 nee=True, **kwargs)
         if integrator == "reference":
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
