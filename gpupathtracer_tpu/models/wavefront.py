@@ -52,7 +52,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        traversal: str = "packet",
                        packet_size: int = 128,
                        textured: bool = False,
-                       sun: bool = False):
+                       sun: bool = False,
+                       sort_rays: bool = False):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -73,6 +74,27 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     ray_o, ray_d = gen_rays(cam, interp, lens_u)
 
     nee_pdf = 0.5 / scene.total_light_area  # InitRay, Iterative.comp:203
+
+    # Scene bounds for the bounce-ray sort cells (root node's child union).
+    root_lo = jnp.min(scene.bvh.child_bounds[0, :, 0:3], axis=0)
+    root_hi = jnp.max(scene.bvh.child_bounds[0, :, 3:6], axis=0)
+    inv_extent = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+
+    def ray_sort_perm(o, d, alive):
+        """Coherence sort for bounce wavefronts: dead lanes last (so whole
+        packets die and the traversal's packet compaction skips them), live
+        lanes grouped by direction octant then coarse origin cell. Replaces
+        the role of the megakernel's warp-coherent Morton pixel pool for
+        SECONDARY rays, which the reference never solved."""
+        octant = ((d[:, 0] > 0).astype(jnp.int32)
+                  + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                  + 4 * (d[:, 2] > 0).astype(jnp.int32))
+        cell_f = jnp.clip((o - root_lo) * inv_extent, 0.0, 0.999) * 8.0
+        cell = (cell_f[:, 0].astype(jnp.int32) * 64
+                + cell_f[:, 1].astype(jnp.int32) * 8
+                + cell_f[:, 2].astype(jnp.int32))
+        key = jnp.where(alive, octant * 512 + cell, 1 << 20)
+        return jnp.argsort(key)
 
     class Carry(NamedTuple):
         i: jnp.ndarray
@@ -106,10 +128,20 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         rnd = jax.random.uniform(k, (n, 8))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
-        hit = trace_closest(scene, c.o, c.d,
-                            jnp.full((n,), T_MAX, jnp.float32), c.alive,
-                            stack_depth=stack_depth, leaf_size=leaf_size,
-                            traversal=traversal, packet_size=packet_size)
+        t_max_full = jnp.full((n,), T_MAX, jnp.float32)
+        if sort_rays and traversal == "packet":
+            perm = ray_sort_perm(c.o, c.d, c.alive)
+            hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
+                                  c.alive[perm], stack_depth=stack_depth,
+                                  leaf_size=leaf_size, traversal=traversal,
+                                  packet_size=packet_size)
+            inv = jnp.argsort(perm)
+            hit = type(hit_s)(t=hit_s.t[inv], prim=hit_s.prim[inv],
+                              u=hit_s.u[inv], v=hit_s.v[inv])
+        else:
+            hit = trace_closest(scene, c.o, c.d, t_max_full, c.alive,
+                                stack_depth=stack_depth, leaf_size=leaf_size,
+                                traversal=traversal, packet_size=packet_size)
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
@@ -182,4 +214,5 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "packet_size", "textured", "sun"))(render_sample_impl)
+    "nee", "traversal", "packet_size", "textured", "sun",
+    "sort_rays"))(render_sample_impl)

@@ -71,47 +71,63 @@ def _mt_packet(p0, e1, e2, o, d, t_cur):
 
 def _traverse_packets(rows, o, d, t_max, active,
                       stack_depth: int, leaf_size: int, any_hit_mode: bool,
-                      unroll: int = 4):
-    """rows: merged [W+L, 64] table; o, d: [P, K, 3]; t_max, active: [P, K]."""
+                      unroll: int = 1, pass1_cap: int = 48,
+                      prefix_div: int = 32, pass2_cap: int = 8192,
+                      outer_cap: int = 64):
+    """rows: merged [W+L, 64] table; o, d: [P, K, 3]; t_max, active: [P, K].
+
+    Lockstep-tail compaction: measured on Sponza-class scenes, the deepest
+    packet needs ~18x the median pop count (676 vs p50=14), and a single
+    lockstep while pays full-width work for every iteration. So: (1) a
+    pass capped at `pass1_cap` iterations over all P packets retires the
+    ~90% of easy packets, then (2) an outer loop sorts alive packets to the
+    front and drains them through a P/prefix_div prefix with inner caps —
+    all shapes static, results exact (packets carry their stacks with them).
+    """
     P, K = t_max.shape
-    oT = jnp.transpose(o, (0, 2, 1))  # [P, 3, K]
-    dT = jnp.transpose(d, (0, 2, 1))
-    invT = _safe_inv(dT)
-    prow = jnp.arange(P, dtype=jnp.int32)
+    oT0 = jnp.transpose(o, (0, 2, 1))  # [P, 3, K]
+    dT0 = jnp.transpose(d, (0, 2, 1))
+    invT0 = _safe_inv(dT0)
 
     stack = jnp.zeros((P, stack_depth), jnp.int32)  # root entry = node 0
     sp = jnp.where(jnp.any(active, axis=1), 1, 0).astype(jnp.int32)
 
+    # Everything with a leading P axis lives in the carry so compaction can
+    # permute packets (rays travel with their stacks).
     state = (stack, sp,
              t_max.astype(jnp.float32),
              jnp.full((P, K), -1, jnp.int32),
              jnp.zeros((P, K), jnp.float32),
              jnp.zeros((P, K), jnp.float32),
-             jnp.zeros((P, K), bool))
+             jnp.zeros((P, K), bool),
+             oT0, dT0, invT0, active,
+             jnp.arange(P, dtype=jnp.int32))  # original packet slot
 
     def step(st):
-        stack, sp, t, prim, uu, vv, found = st
+        stack, sp, t, prim, uu, vv, found, oT, dT, invT, act, orig = st
+        Pc = sp.shape[0]
+        prow = jnp.arange(Pc, dtype=jnp.int32)
         live = sp > 0
         top = jnp.maximum(sp - 1, 0)
         entry = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
         sp = jnp.where(live, sp - 1, sp)
         is_leaf = live & (entry < 0)
         is_node = live & (entry >= 0)
-        rays_on = active & ~found if any_hit_mode else active
+        rays_on = act & ~found if any_hit_mode else act
 
         # ---- one merged-row fetch per packet --------------------------
         lpacked = jnp.where(is_leaf, -(entry + 1), 0)
         ridx = jnp.where(is_leaf, lpacked >> 4, jnp.where(is_node, entry, 0))
-        row = rows[ridx]                          # [P, 64]
+        row = rows[ridx]                          # [Pc, 64]
 
         # ---- node expansion: per-ray slab over 8 children --------------
         # (a conservative packet-frustum interval test was tried here and
         # lost 20x: per-ray `tmin < t` culling is what keeps the visit count
         # down for closest-hit)
-        bounds = row[:, 0:48].reshape(P, 8, 6)
+        bounds = row[:, 0:48].reshape(Pc, 8, 6)
         centry = jax.lax.bitcast_convert_type(row[:, 48:56], jnp.int32)
-        tmin = jnp.full((P, 8, K), -_INF)
-        tmx = jnp.full((P, 8, K), _INF)
+        tmin = jnp.full((Pc, 8, K), -_INF)
+        tmx = jnp.full((Pc, 8, K), _INF)
         for a in range(3):
             t0 = (bounds[:, :, a, None] - oT[:, None, a, :]) \
                 * invT[:, None, a, :]
@@ -120,7 +136,7 @@ def _traverse_packets(rows, o, d, t_max, active,
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
         rhit = (tmin <= tmx) & (tmx > 0.0) & (tmin < t[:, None, :]) \
-            & rays_on[:, None, :]                 # [P, 8, K]
+            & rays_on[:, None, :]                 # [Pc, 8, K]
         chit = jnp.any(rhit, axis=2) & (centry != _INVALID) & is_node[:, None]
 
         if any_hit_mode:
@@ -156,29 +172,68 @@ def _traverse_packets(rows, o, d, t_max, active,
 
         if any_hit_mode:
             found = found | (prim >= 0)
-            packet_done = jnp.all(found | ~active, axis=1)
+            packet_done = jnp.all(found | ~act, axis=1)
             sp = jnp.where(packet_done, 0, sp)
 
-        return (stack, sp, t, prim, uu, vv, found)
+        return (stack, sp, t, prim, uu, vv, found, oT, dT, invT, act, orig)
 
-    def cond(st):
-        return jnp.any(st[1] > 0)
+    def run_capped(st, cap):
+        """while any packet live, up to `cap` iterations (cap<=0: unbounded)."""
+        def cond(c):
+            st, it = c
+            alive = jnp.any(st[1] > 0)
+            return alive & (it < cap) if cap > 0 else alive
 
-    def body(st):
-        # U unrolled pops per while iteration: device loop iterations carry
-        # ~40 us fixed overhead on this platform, so amortize.
-        for _ in range(unroll):
-            st = step(st)
+        def body(c):
+            st, it = c
+            for _ in range(max(unroll, 1)):
+                st = step(st)
+            return st, it + max(unroll, 1)
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
         return st
 
-    final = jax.lax.while_loop(cond, body, state)
-    _, _, t, prim, uu, vv, found = final
+    # Shadow/any-hit traversals are shallow (early exit): compaction's
+    # sort/permute machinery costs more than the tail there.
+    use_compaction = (not any_hit_mode) and P >= 4 * prefix_div
+
+    if not use_compaction:
+        final = run_capped(state, 0)
+    else:
+        # Pass 1: full width, capped.
+        st = run_capped(state, pass1_cap)
+
+        # Outer drain: alive packets to the front, process a prefix.
+        Pc2 = P // prefix_div
+
+        def outer_cond(c):
+            st, rounds = c
+            return jnp.any(st[1] > 0) & (rounds < outer_cap)
+
+        def outer_body(c):
+            st, rounds = c
+            order = jnp.argsort((st[1] <= 0).astype(jnp.int32),
+                                stable=True)
+            st = tuple(a[order] for a in st)
+            sub = tuple(a[:Pc2] for a in st)
+            sub = run_capped(sub, pass2_cap)
+            st = tuple(a.at[:Pc2].set(s) for a, s in zip(st, sub))
+            return st, rounds + 1
+
+        st, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                   (st, jnp.int32(0)))
+        final = st
+
+    _, _, t, prim, uu, vv, found, _, _, _, _, orig = final
+    # Undo the compaction permutation.
+    inv = jnp.argsort(orig)
+    t, prim, uu, vv, found = (a[inv] for a in (t, prim, uu, vv, found))
     return t, prim, uu, vv, (found if any_hit_mode else prim >= 0)
 
 
 def closest_hit_packets(wbvh, o, d, t_max, active=None,
                         stack_depth: int = 48, leaf_size: int = 4,
-                        packet_size: int = 128, unroll: int = 4):
+                        packet_size: int = 128, unroll: int = 1):
     """Packet closest-hit. o, d: [N, 3]; N must divide by packet_size.
     Returns Hit-compatible (t, prim, u, v) flat [N] arrays."""
     n = o.shape[0]
@@ -197,7 +252,7 @@ def closest_hit_packets(wbvh, o, d, t_max, active=None,
 
 def any_hit_packets(wbvh, o, d, t_max, active=None,
                     stack_depth: int = 48, leaf_size: int = 4,
-                    packet_size: int = 128, unroll: int = 4):
+                    packet_size: int = 128, unroll: int = 1):
     """Packet any-hit: returns occluded [N] bool."""
     n = o.shape[0]
     assert n % packet_size == 0, (n, packet_size)

@@ -81,3 +81,21 @@ def test_leaf_rows_roundtrip(scene):
     lr = np.asarray(dev.node_rows)[W:]
     pids = lr[:, 9].view(np.int32)
     assert pids.max() < 700 and pids.min() >= -1
+
+
+def test_compaction_path_matches(scene):
+    """Enough packets to trigger the lockstep-tail compaction path; results
+    must match the per-ray traversal exactly."""
+    dev, geom, depth, o, d = scene
+    import jax.numpy as jnp
+    # Tile rays to 4096 so P = 64 packets of 64 rays (compaction active).
+    o8 = jnp.tile(o, (8, 1))
+    d8 = jnp.tile(d, (8, 1))
+    tmax = jnp.full((4096,), 1e20, jnp.float32)
+    ref = closest_hit(dev, geom, o8, d8, tmax, stack_depth=depth)
+    got = closest_hit_packets(dev, o8, d8, tmax, stack_depth=depth,
+                              packet_size=64)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.prim < 0),
+                                  np.asarray(ref.prim < 0))
