@@ -315,7 +315,7 @@ DEFAULT_CAMERAS = {
     "bunny": ((0.0, 2.2, -6.5), math.pi, -0.12, 45.0, 0.0, 90.0),
     "table": ((0.0, 4.0, -7.2), math.pi, -0.18, 55.0, 0.12, 7.5),
     "sponza": ((-18.0, 4.5, 0.0), math.pi / 2, -0.05, 60.0, 0.0, 90.0),
-    "bathroom": ((-4.5, 3.0, 3.8), math.pi * 0.78, -0.15, 55.0, 0.1, 6.0),
+    "bathroom": ((4.0, 3.5, 3.5), -0.58, -0.27, 55.0, 0.1, 8.0),
 }
 
 
