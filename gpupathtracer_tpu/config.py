@@ -68,6 +68,7 @@ class RenderConfig:
     wide_arity: int = 8                    # children per wide-BVH node
     leaf_size: int = 4                     # max triangles per wide-BVH leaf
     traversal: str = "packet"              # "packet" (TPU fast path) | "perray"
+    pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per shared-stack packet
     bvh_builder: str = "auto"              # "auto" | "cpp" | "numpy"
     spatial_splits: bool = True            # SBVH spatial splits (C++ builder)

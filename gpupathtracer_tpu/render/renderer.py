@@ -28,7 +28,7 @@ from gpupathtracer_tpu.models.reference import render_sample_reference
 from gpupathtracer_tpu.models.wavefront import render_sample
 from gpupathtracer_tpu.ops.tonemap import present as present_op
 from gpupathtracer_tpu.utils.io import save_png
-from gpupathtracer_tpu.utils.morton import ray_index_to_pixel
+from gpupathtracer_tpu.utils.morton import ray_order
 from gpupathtracer_tpu.utils.timing import FrameStats, Timer
 
 
@@ -48,8 +48,8 @@ class Renderer:
         self.pad_w, self.pad_h = _align8(cfg.width), _align8(cfg.height)
         n = self.pad_w * self.pad_h
 
-        # Ray order: Morton within 8x8 blocks (Renderer.cpp:568-592 role).
-        fwd = ray_index_to_pixel(self.pad_w, self.pad_h)  # ray -> pixel linear
+        # Ray order: Morton/Hilbert within 8x8 blocks (Renderer.cpp:568-592).
+        fwd = ray_order(self.pad_w, self.pad_h, cfg.pixel_order)
         self._ray_to_pixel = jnp.asarray(fwd)
         px = fwd % self.pad_w
         py = fwd // self.pad_w

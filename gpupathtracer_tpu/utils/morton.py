@@ -47,3 +47,51 @@ def pixel_to_ray_index(width: int, height: int) -> np.ndarray:
     inv = np.empty_like(fwd)
     inv[fwd] = np.arange(fwd.size, dtype=np.int32)
     return inv
+
+
+def _hilbert_d2xy(order: int, d: np.ndarray):
+    """Vectorized Hilbert curve index -> (x, y) for a 2^order square.
+
+    Role of the reference's Hilbert pixel-pool generator (Renderer.cpp:
+    373-446; A/B'd against Morton at 22.597 vs 22.601 FPS)."""
+    n = 1 << order
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    t = d.copy()
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x = np.where(swap, y_f, x)
+        y = np.where(swap, x_f, y)
+        x = np.where(flip, s - 1 - x, x)
+        y = np.where(flip, s - 1 - y, y)
+        x = x + s * rx
+        y = y + s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def ray_index_to_pixel_hilbert(width: int, height: int) -> np.ndarray:
+    """Like ray_index_to_pixel but with Hilbert-ordered 8x8 blocks."""
+    assert width % 8 == 0 and height % 8 == 0, "film must be 8x8 aligned"
+    idx = np.arange(width * height, dtype=np.int64)
+    i = idx % 64
+    hx, hy = _hilbert_d2xy(3, i)
+    j = idx // 64
+    bx = j % (width // 8)
+    by = j // (width // 8)
+    px = hx + 8 * bx
+    py = hy + 8 * by
+    return (py * width + px).astype(np.int32)
+
+
+def ray_order(width: int, height: int, kind: str = "morton") -> np.ndarray:
+    if kind == "hilbert":
+        return ray_index_to_pixel_hilbert(width, height)
+    return ray_index_to_pixel(width, height)
