@@ -1,0 +1,52 @@
+"""Pallas packet-traversal kernel: interpret-mode equivalence.
+
+The kernel compiles in interpret mode everywhere; on this image's tunneled
+TPU, HBM/ANY-space kernel inputs crash the remote Mosaic compiler (probed
+2026-08-16: even a static-index make_async_copy from a pl.ANY ref returns
+HTTP 500 from tpu_compile_helper), so the kernel is groundwork for a
+non-tunneled deployment. See PERF.md.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpupathtracer_tpu.bvh import WideBVH, build_wide_bvh
+from gpupathtracer_tpu.bvh.wide import pack_for_packets
+from gpupathtracer_tpu.ops.intersect import pack_tri_geom
+from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
+from gpupathtracer_tpu.ops.traverse import closest_hit
+
+
+def test_pallas_kernel_matches_perray_interpret():
+    rng = np.random.RandomState(7)
+    n = 400
+    base = rng.uniform(-5, 5, (n, 1, 3))
+    offs = rng.uniform(-0.6, 0.6, (n, 3, 3))
+    tri = (base + offs).astype(np.float32)
+    p0, p1, p2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4, builder="numpy")
+    wide = pack_for_packets(wide, p0, p1 - p0, p2 - p0, 4)
+    rows = jnp.asarray(wide.node_rows)
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    dev = WideBVH(*((jnp.asarray(a) if a is not None else None)
+                    for a in wide))
+    depth = stats.max_depth * 7 + 2
+
+    K, P = 128, 3
+    N = P * K
+    o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+
+    ref = closest_hit(dev, geom, o, d, tmax, stack_depth=depth)
+    t, prim, u, v = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        tmax.reshape(P, K), jnp.ones((P, K), bool),
+        stack_depth=depth, interpret=True)
+    np.testing.assert_allclose(np.asarray(t).reshape(N), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prim).reshape(N) < 0,
+                                  np.asarray(ref.prim) < 0)
