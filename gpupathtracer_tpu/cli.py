@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     p.add_argument("--focus", type=float, default=90.0, help="focal distance")
     p.add_argument("--aperture", type=float, default=0.0)
     p.add_argument("--integrator", default="wavefront",
-                   choices=["wavefront", "direct", "reference"])
+                   choices=["wavefront", "direct", "reference", "ao"])
     p.add_argument("--microfacet", default="trowbridge_reitz",
                    choices=["trowbridge_reitz", "beckmann", "blinn_phong"])
     p.add_argument("--max-bounces", type=int, default=64)

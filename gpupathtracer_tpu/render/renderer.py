@@ -124,6 +124,12 @@ class Renderer:
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
+        if integrator == "ao":
+            from gpupathtracer_tpu.models.ao import render_sample_ao
+            for k in ("max_bounces", "model", "textured", "sun"):
+                kwargs.pop(k, None)
+            return render_sample_ao(self.scene, self.camera, px, py, key,
+                                    **kwargs)
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def reset_samples(self) -> None:

@@ -124,3 +124,16 @@ def test_sun_disabled_is_dark():
     r = Renderer(cfg)
     r.render_frame("wavefront")
     assert r.film_hdr().max() < 1e-6  # black env, no lights, no sun
+
+
+def test_ao_integrator(cornell_renderer):
+    r = cornell_renderer
+    r.reset_samples()
+    for _ in range(4):
+        r.render_frame("ao")
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+    # Open side behind the camera is unoccluded (1.0); corners darker.
+    assert img.max() > 0.9
+    assert img.min() < 0.9
+    r.reset_samples()
