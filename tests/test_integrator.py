@@ -137,3 +137,32 @@ def test_ao_integrator(cornell_renderer):
     assert img.max() > 0.9
     assert img.min() < 0.9
     r.reset_samples()
+
+
+def test_furnace():
+    """Furnace test: albedo-1 rough sphere in a unit-radiance white furnace.
+    The reference's BSDF (replicated exactly: quirky Smith visibility +
+    (1-F)(1-F) diffuse with f0=0.04) loses ~10% energy; this pins the band
+    so estimator regressions (lost/gained energy) are caught."""
+    from gpupathtracer_tpu.scene import pack_scene
+    from gpupathtracer_tpu.scene.envmap import from_color
+    from gpupathtracer_tpu.scene.mesh import build_triangle_soup
+    from gpupathtracer_tpu.scene.procedural import SceneBuilder
+
+    sb = SceneBuilder()
+    m = sb.add_material(name="white", albedo=(1.0, 1.0, 1.0), roughness_g=1.0)
+    sb.add_icosphere([0, 0, 0], 1.0, m, subdiv=3)
+    mesh, mats = sb.build()
+    cfg = RenderConfig(width=24, height=24, ray_chunk=576, max_bounces=32)
+    cfg.camera = CameraConfig(position=(0, 0, -4), yaw=math.pi,
+                              fov=math.radians(40), aspect=1.0)
+    scene, meta = pack_scene(build_triangle_soup(mesh), mats,
+                             from_color((1.0, 1.0, 1.0)), cfg)
+    r = Renderer(cfg, scene=scene, meta=meta)
+    for _ in range(16):
+        r.render_frame()
+    img = r.film_hdr()
+    sphere = img[9:15, 9:15]
+    assert np.isfinite(img).all()
+    assert 0.82 < sphere.mean() < 1.02, sphere.mean()
+    np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-5)  # env unchanged
