@@ -166,3 +166,21 @@ def test_furnace():
     assert np.isfinite(img).all()
     assert 0.82 < sphere.mean() < 1.02, sphere.mean()
     np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-5)  # env unchanged
+
+
+def test_scene_txt_end_to_end(tmp_path):
+    """The reference's 4-line scene.txt drives a full render (Program.cpp
+    flow): OBJ path, skybox spec, camera position, camera rotation."""
+    (tmp_path / "tri.obj").write_text(
+        "v -20 0 -20\nv 20 0 -20\nv 0 0 20\nvn 0 1 0\nf 1//1 3//1 2//1\n")
+    (tmp_path / "scene.txt").write_text(
+        f"{tmp_path}/tri.obj\nGENERATE COLOR WHITE\n0.0 3.0 -8.0\n3.14159 -0.3\n")
+    from gpupathtracer_tpu.config import load_scene_txt
+    cfg = load_scene_txt(str(tmp_path / "scene.txt"), 32, 32)
+    cfg.ray_chunk = 1024
+    cfg.max_bounces = 4
+    r = Renderer(cfg)
+    r.render_frame()
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5  # white env visible
