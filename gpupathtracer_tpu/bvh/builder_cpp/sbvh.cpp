@@ -86,6 +86,11 @@ struct Builder {
   int32_t numLeaves = 0;
   int32_t maxDepthSeen = 0;
   int32_t spatialSplits = 0;
+  // Reference-duplication budget (production-SBVH style): spatial splits
+  // stop once duplicates exceed ~30% of the triangle count, bounding memory
+  // and leaf blowup on adversarial (long thin triangle) inputs.
+  int64_t extraRefs = 0;
+  int64_t extraRefBudget = 0;
 
   Vec3 vert(int tri, int corner) const {
     const float* p = verts + 9 * tri + 3 * corner;
@@ -320,8 +325,10 @@ struct Builder {
           Ref rl = r, rr = r;
           rl.box = cl.intersect(r.box);
           rr.box = cr.intersect(r.box);
+          bool both = rl.box.valid() && rr.box.valid();
           if (rl.box.valid()) L.push_back(rl); else NL--;
           if (rr.box.valid()) R.push_back(rr); else NR--;
+          if (both) extraRefs++;
         }
       }
     }
@@ -349,6 +356,7 @@ struct Builder {
       rootBox.extend(rootRefs[i].box);
     }
     rootArea = rootBox.halfArea();
+    extraRefBudget = (int64_t)numTris * 3 / 10;
     nodes.reserve((size_t)numTris * 2 + 2);
     refsOut.reserve((size_t)numTris * 5 / 4);
 
@@ -380,8 +388,8 @@ struct Builder {
       if (!forced) {
         best = findObjectSplit(t.refs, t.box);
         // Spatial-split trigger: child overlap exceeds alpha * root area
-        // (BVH.cpp:2011-2022, alpha = 1e-5).
-        if (spatialEnabled && best.axis >= 0) {
+        // (BVH.cpp:2011-2022, alpha = 1e-5), gated by the duplication budget.
+        if (spatialEnabled && best.axis >= 0 && extraRefs < extraRefBudget) {
           AABB overlap = best.leftBox.intersect(best.rightBox);
           if (overlap.valid() && overlap.halfArea() > alpha * rootArea) {
             Split sp = findSpatialSplit(t.refs, t.box);

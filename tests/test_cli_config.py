@@ -76,7 +76,6 @@ def test_sbvh_quality_vs_object_only():
     assert s_object.spatial_splits == 0
     # On long thin triangles spatial splits must WIN on SAH...
     assert s_spatial.sah_cost < s_object.sah_cost
-    # ...at a bounded (if large, for this adversarial input) duplication.
-    # TODO(round 2): reference-budget cap like production SBVH builders.
-    assert s_spatial.duplication_pct < 400.0
+    # ...within the builder's 30% reference-duplication budget.
+    assert s_spatial.duplication_pct < 35.0
     # Realistic scenes stay low: Sponza-class measures ~8% (see PERF.md).
