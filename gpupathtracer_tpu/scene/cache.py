@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CACHE_VERSION = 4  # bump when array formats change
+CACHE_VERSION = 5  # bump when array formats or builder behavior change
 
 
 def _scene_fingerprint(cfg) -> str:
@@ -24,8 +24,19 @@ def _scene_fingerprint(cfg) -> str:
         st = os.stat(ident)
         ident += f":{st.st_mtime_ns}:{st.st_size}"
     key = (f"v{CACHE_VERSION}|{ident}|leaf{cfg.leaf_size}|ar{cfg.wide_arity}"
-           f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}")
+           f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}|{_builder_fingerprint()}")
     return hashlib.sha1(key.encode()).hexdigest()[:20]
+
+
+def _builder_fingerprint() -> str:
+    """Hash of the C++ builder source, so builder changes invalidate caches."""
+    try:
+        src = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "bvh", "builder_cpp", "sbvh.cpp")
+        with open(src, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:8]
+    except OSError:
+        return "nosrc"
 
 
 def cache_path(cfg) -> str:
