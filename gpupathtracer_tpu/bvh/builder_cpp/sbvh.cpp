@@ -78,6 +78,9 @@ struct Builder {
   int32_t numTris;
   int32_t maxLeaf;
   bool spatialEnabled;
+  bool forceLeaf;  // pack leaves to maxLeaf unconditionally (packet-
+                   // traversal trees: pops cost far more than masked
+                   // triangle tests, unlike the reference's GPU warps)
   float alpha;
 
   std::vector<Node> nodes;
@@ -378,7 +381,8 @@ struct Builder {
       nodes[t.node].box = t.box;
       int n = (int)t.refs.size();
 
-      if (n <= 1 || (t.depth >= kMaxDepth && n <= kHardLeafCap)) {
+      if (n <= 1 || (t.depth >= kMaxDepth && n <= kHardLeafCap)
+          || (forceLeaf && n <= maxLeaf)) {
         makeLeaf(t.node, t.refs);
         continue;
       }
@@ -462,7 +466,8 @@ struct Builder {
 extern "C" {
 
 void* sbvh_build(const float* verts, int32_t num_tris, int32_t max_leaf,
-                 int32_t spatial, float alpha, int32_t* out_num_nodes,
+                 int32_t spatial, int32_t force_leaf, float alpha,
+                 int32_t* out_num_nodes,
                  int32_t* out_num_refs, int32_t* out_num_leaves,
                  int32_t* out_max_depth, int32_t* out_spatial_splits,
                  double* out_sah) {
@@ -471,6 +476,7 @@ void* sbvh_build(const float* verts, int32_t num_tris, int32_t max_leaf,
   b->numTris = num_tris;
   b->maxLeaf = std::min(std::max(max_leaf, 1), kHardLeafCap);
   b->spatialEnabled = spatial != 0;
+  b->forceLeaf = force_leaf != 0;
   b->alpha = alpha;
   b->build();
   *out_num_nodes = (int32_t)b->nodes.size();

@@ -50,7 +50,7 @@ def _load() -> ctypes.CDLL:
         lib.sbvh_build.restype = ctypes.c_void_p
         lib.sbvh_build.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
@@ -66,9 +66,11 @@ def _load() -> ctypes.CDLL:
 
 def build_sbvh_cpp(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                    max_leaf: int = 4, spatial_splits: bool = True,
+                   force_leaf: bool = False,
                    alpha: float = 1e-5) -> Tuple[BinaryBVH, BuildStats]:
     """Build a binary SBVH natively. alpha is the spatial-split trigger
-    threshold (overlap area / root area), 1e-5 like BVH.cpp:2135."""
+    threshold (overlap area / root area), 1e-5 like BVH.cpp:2135.
+    force_leaf packs leaves to max_leaf unconditionally (packet trees)."""
     lib = _load()
     t0 = time.perf_counter()
     tris = np.ascontiguousarray(
@@ -84,7 +86,7 @@ def build_sbvh_cpp(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     handle = lib.sbvh_build(
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
         np.int32(max_leaf), np.int32(1 if spatial_splits else 0),
-        np.float32(alpha),
+        np.int32(1 if force_leaf else 0), np.float32(alpha),
         ctypes.byref(o_nodes), ctypes.byref(o_refs), ctypes.byref(o_leaves),
         ctypes.byref(o_depth), ctypes.byref(o_spatial), ctypes.byref(o_sah))
     try:
