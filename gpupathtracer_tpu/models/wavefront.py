@@ -166,7 +166,11 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         p0n = c.pdf0 * factor
         p1n = c.pdf1 * factor
         idt_scale = p0n / (p0n + p1n + nee_pdf) / jnp.maximum(old_mis, 1e-30)
-        use_rewrite = (~miss) & (c.i != 0)
+        # The rewrite folds the NEE competition into the emission weight
+        # (Iterative.comp:252-258); without NEE the carried throughput
+        # (mixture-pdf one-sample MIS over the two lobes) is already the
+        # full unbiased estimator.
+        use_rewrite = ((~miss) & (c.i != 0)) if nee else jnp.zeros_like(miss)
         idt = c.throughput * jnp.where(use_rewrite, idt_scale, 1.0)[..., None]
         contribution = c.contribution + jnp.where(
             c.alive[..., None], idt * emission, 0.0)
