@@ -105,3 +105,55 @@ def test_gltf_renders(tmp_path):
     img = r.film_hdr()
     assert np.isfinite(img).all()
     assert img.max() > 0.5  # the emissive quad is visible
+
+
+def test_gltf_with_texture(tmp_path):
+    """glTF baseColorTexture (external uri) -> atlas -> textured render."""
+    from gpupathtracer_tpu.utils.io import save_png
+    checker = np.zeros((8, 8, 3), np.float32)
+    checker[::2, ::2] = [1, 0, 0]
+    checker[1::2, 1::2] = [0, 1, 0]
+    save_png(str(tmp_path / "tex.png"), checker)
+    gltf, blob = make_gltf_dict()
+    gltf["buffers"][0]["uri"] = ("data:application/octet-stream;base64,"
+                                 + base64.b64encode(blob).decode())
+    gltf["images"] = [{"uri": "tex.png"}]
+    gltf["textures"] = [{"source": 0}]
+    gltf["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    gltf["materials"][0]["emissiveFactor"] = [0, 0, 0]
+    p = tmp_path / "scene.gltf"
+    p.write_text(json.dumps(gltf))
+
+    from gpupathtracer_tpu.scene.gltf import load_gltf
+    mesh, materials = load_gltf(str(p))
+    assert materials[1].albedo_texture == "tex.png"
+
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.render import Renderer
+    import math
+    cfg = RenderConfig(scene_path=str(p), skybox="GENERATE COLOR WHITE",
+                       width=16, height=16, ray_chunk=256, max_bounces=2)
+    cfg.camera = CameraConfig(position=(2.0, 1.0, -3.0), yaw=math.pi,
+                              fov=math.radians(60), aspect=1.0)
+    r = Renderer(cfg)
+    assert r.meta.has_textures
+    for _ in range(4):
+        r.render_frame()
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+
+
+def test_direct_integrator_smoke():
+    import math
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.render import Renderer
+    cfg = RenderConfig(scene_path="proc:cornell", skybox="GENERATE COLOR BLACK",
+                       width=16, height=16, ray_chunk=256, integrator="direct")
+    cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                              fov=math.radians(45), aspect=1.0)
+    r = Renderer(cfg)
+    for _ in range(4):
+        r.render_frame()
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+    assert img.max() > 0.2  # direct lighting present
