@@ -71,6 +71,20 @@ class Renderer:
         self.camera: CameraParams = generate_image_plane(cfg.camera)
         self.stats = FrameStats()
 
+        # Multi-chip: samples/pixels sharded over a device mesh
+        # (parallel/mesh.py). One sharded frame accumulates
+        # `samples_axis_size` spp.
+        self.mesh = None
+        self.samples_per_frame = 1
+        if int(np.prod(cfg.mesh_shape)) > 1:
+            from gpupathtracer_tpu.parallel import make_device_mesh
+            self.mesh = make_device_mesh(cfg.mesh_shape)
+            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            if self.n_rays % sizes.get("pixels", 1):
+                raise ValueError(f"film rays {self.n_rays} not divisible by "
+                                 f"pixels axis {sizes.get('pixels')}")
+            self.samples_per_frame = sizes.get("samples", 1)
+
     # -- frame loop ---------------------------------------------------------
 
     def set_camera(self, camera_cfg) -> None:
@@ -85,6 +99,13 @@ class Renderer:
         integrator = integrator or self.cfg.integrator
         timer = Timer(); timer.begin()
         sample_key = jax.random.fold_in(self.base_key, self.num_samples)
+        if self.mesh is not None and integrator == "wavefront":
+            contribution, r = self._render_sharded(sample_key)
+            self.accum = self.accum + contribution
+            self.accum.block_until_ready()
+            self.num_samples += self.samples_per_frame
+            self.stats.add_frame(timer.end(), int(r))
+            return
         out, rays = [], 0
         for c0 in range(0, self.n_rays, self.chunk):
             key = jax.random.fold_in(sample_key, c0 // self.chunk)
@@ -97,6 +118,20 @@ class Renderer:
         self.accum.block_until_ready()
         self.num_samples += 1
         self.stats.add_frame(timer.end(), rays)
+
+    def _render_sharded(self, key):
+        """One mesh-sharded frame = samples_per_frame spp (parallel/mesh.py)."""
+        from gpupathtracer_tpu.parallel import render_sample_sharded
+        return render_sample_sharded(
+            self.mesh, self.scene, self.camera, self.pixel_x, self.pixel_y,
+            key, width=self.pad_w, height=self.pad_h,
+            max_bounces=self.cfg.max_bounces,
+            stack_depth=self.meta.stack_depth,
+            leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,
+            traversal=self.cfg.traversal,
+            packet_size=min(self.cfg.packet_size, self.chunk),
+            textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
+            nee=self.cfg.nee_enabled)
 
     def _render_chunk(self, integrator: str, sl: slice, key):
         """Returns ([C,3] contribution, rays traced)."""

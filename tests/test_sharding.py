@@ -104,3 +104,32 @@ def test_pixel_shards_cover_film(cornell):
         ref[sl] = np.asarray(c)
     # Sharded and unsharded compiles may reassociate floats slightly.
     np.testing.assert_allclose(out, ref, rtol=3e-4, atol=1e-5)
+
+
+def test_renderer_mesh_integration():
+    """Renderer drives the sharded path when cfg.mesh_shape > (1,): one
+    frame accumulates samples_per_frame spp, statistically matching the
+    single-device renderer."""
+    cfg = RenderConfig(scene_path="proc:cornell", skybox="GENERATE COLOR BLACK",
+                       width=16, height=16, ray_chunk=256, max_bounces=8,
+                       mesh_shape=(4, 2))
+    cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                              fov=math.radians(45), aspect=1.0)
+    from gpupathtracer_tpu.render import Renderer
+    r = Renderer(cfg)
+    assert r.samples_per_frame == 4
+    for _ in range(3):
+        r.render_frame()
+    assert r.num_samples == 12
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+
+    cfg1 = RenderConfig(scene_path="proc:cornell",
+                        skybox="GENERATE COLOR BLACK", width=16, height=16,
+                        ray_chunk=256, max_bounces=8)
+    cfg1.camera = cfg.camera
+    r1 = Renderer(cfg1, scene=r.scene, meta=r.meta)
+    for _ in range(12):
+        r1.render_frame()
+    m, m1 = img.mean(), r1.film_hdr().mean()
+    assert abs(m - m1) / (m1 + 1e-9) < 0.2, (m, m1)
