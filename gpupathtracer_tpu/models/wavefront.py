@@ -53,7 +53,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        packet_size: int = 128,
                        textured: bool = False,
                        sun: bool = False,
-                       sort_rays: bool = False):
+                       sort_rays: bool = False,
+                       delta: bool = False):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -125,7 +126,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
     def body(c: Carry) -> Carry:
         key, k = jax.random.split(c.key)
-        rnd = jax.random.uniform(k, (n, 8))
+        rnd = jax.random.uniform(k, (n, 9))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
         t_max_full = jnp.full((n,), T_MAX, jnp.float32)
@@ -159,8 +160,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # --- L_e accumulation with MIS rewrite (Iterative.comp:246-259) ---
         emission = jnp.where(miss[..., None], sample_env(scene.env, c.d),
                              mat.emission)
-        delta = c.last_pos - pos
-        dist2 = jnp.maximum(dot(delta, delta), 1e-12)
+        dvec = c.last_pos - pos
+        dist2 = jnp.maximum(dot(dvec, dvec), 1e-12)
         old_mis = mis_weight(c.pdf0, c.pdf1)
         factor = 0.5 * avdot(normal, view_dir) / dist2
         p0n = c.pdf0 * factor
@@ -177,6 +178,16 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
         alive = c.alive & ~miss
 
+        # Delta materials (mirror/refractive — MATERIAL_TYPE enum declared
+        # but unimplemented in the reference, Material.glsl:15-17).
+        if delta:
+            mtype = scene.mat_type[mat_id]
+            is_mirror = mtype == 3
+            is_glass = mtype == 2
+            is_delta = is_mirror | is_glass
+        else:
+            is_delta = jnp.zeros((n,), bool)
+
         # --- NEE (Iterative.comp:272-280) ---
         if nee:
             rays = rays + jnp.sum(alive, dtype=jnp.int32)
@@ -189,8 +200,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                                       leaf_size=leaf_size,
                                       traversal=traversal,
                                       packet_size=packet_size)
+            # Delta surfaces have zero BSDF toward any sampled light point.
             contribution = contribution + jnp.where(
-                (alive & ~occluded)[..., None],
+                (alive & ~occluded & ~is_delta)[..., None],
                 ls.throughput * ls.emission, 0.0)
 
         # --- BSDF sampling + throughput update (Iterative.comp:282-284) ---
@@ -200,6 +212,42 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         throughput = (c.throughput * compute_bsdf(mat, inter_b, model)
                       * (inter_b.ndi * mis_weight(pdf0, pdf1)
                          / jnp.maximum(pdf0, 1e-30))[..., None])
+        new_o = pos
+
+        if delta:
+            # Perfect mirror: specular reflection about the geometric normal.
+            ndd = jnp.sum(normal * c.d, axis=-1, keepdims=True)
+            mir_dir = c.d - 2.0 * ndd * normal
+            # Refraction (Snell + Schlick-Fresnel reflect/refract choice).
+            ior = scene.mat_ior[mat_id]
+            cosi = -ndd[:, 0]
+            entering = cosi >= 0.0
+            n_eff = jnp.where(entering[:, None], normal, -normal)
+            ci = jnp.abs(cosi)
+            eta = jnp.where(entering, 1.0 / ior, ior)
+            k = 1.0 - eta * eta * (1.0 - ci * ci)
+            tir = k < 0.0
+            f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+            fres = f0 + (1.0 - f0) * (1.0 - ci) ** 5
+            choose_reflect = tir | (rnd[:, 8] < fres)
+            refl_dir = c.d + 2.0 * ci[:, None] * n_eff
+            refr_dir = (eta[:, None] * c.d
+                        + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[:, None]
+                        * n_eff)
+            glass_dir = jnp.where(choose_reflect[:, None], refl_dir, refr_dir)
+            transmitted = is_glass & ~choose_reflect
+
+            new_d = jnp.where(is_mirror[:, None], mir_dir,
+                              jnp.where(is_glass[:, None], glass_dir, new_d))
+            # Delta throughput: albedo tint; the reflect/refract choice is
+            # one-sample (weight 1: pdf equals the Fresnel pmf).
+            throughput = jnp.where(is_delta[:, None],
+                                   c.throughput * mat.albedo, throughput)
+            pdf0 = jnp.where(is_delta, 1e8, pdf0)   # delta: emission rewrite
+            pdf1 = jnp.where(is_delta, 0.0, pdf1)   # weight -> ~1 next hit
+            # Transmitted rays continue on the far side of the surface (pos
+            # carries +0.003*normal; step 0.006 across).
+            new_o = jnp.where(transmitted[:, None], pos - 0.006 * normal, pos)
 
         # --- Russian roulette (Iterative.comp:291-300) ---
         continuation = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
@@ -207,7 +255,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
         alive = alive & ~kill
 
-        return Carry(i=c.i + 1, key=key, o=pos, d=new_d,
+        return Carry(i=c.i + 1, key=key, o=new_o, d=new_d,
                      throughput=throughput, contribution=contribution,
                      pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive,
                      rays=rays)
@@ -219,4 +267,4 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "packet_size", "textured", "sun",
-    "sort_rays"))(render_sample_impl)
+    "sort_rays", "delta"))(render_sample_impl)

@@ -145,7 +145,8 @@ class Renderer:
                       traversal=self.cfg.traversal,
                       packet_size=min(self.cfg.packet_size, self.chunk),
                       textured=self.meta.has_textures,
-                      sun=self.cfg.sun_enabled)
+                      sun=self.cfg.sun_enabled,
+                      delta=getattr(self.meta, "has_delta", False))
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled, **kwargs)
@@ -156,12 +157,13 @@ class Renderer:
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=True, **kwargs)
         if integrator == "reference":
+            kwargs.pop("delta", None)  # reference integrator: diffuse only
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
         if integrator == "ao":
             from gpupathtracer_tpu.models.ao import render_sample_ao
-            for k in ("max_bounces", "model", "textured", "sun"):
+            for k in ("max_bounces", "model", "textured", "sun", "delta"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
                                     **kwargs)

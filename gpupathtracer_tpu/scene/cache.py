@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CACHE_VERSION = 5  # bump when array formats or builder behavior change
+CACHE_VERSION = 6  # bump when array formats or builder behavior change
 
 
 def _scene_fingerprint(cfg) -> str:
@@ -57,7 +57,7 @@ def save_scene_cache(cfg, soup, table, light_idx, light_cdf, total_area,
         uv=soup.uv, mat=soup.mat,
         m_albedo=table.albedo, m_rough=table.rough_g, m_metal=table.metallic,
         m_emission=table.emission, m_emissive=table.emissive,
-        m_tex=table.albedo_tex,
+        m_tex=table.albedo_tex, m_type=table.mtype, m_ior=table.ior,
         light_idx=light_idx, light_cdf=light_cdf,
         total_area=np.float32(total_area),
         child_bounds=wide.child_bounds, child_entry=wide.child_entry,

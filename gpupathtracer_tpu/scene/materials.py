@@ -25,6 +25,13 @@ from typing import List, NamedTuple, Optional, Tuple
 import numpy as np
 
 
+# MATERIAL_TYPE enum (Material.glsl:15-17 declares these but the reference
+# BRDF never implements 2/3; we do).
+MATERIAL_DIFFUSE_SPECULAR = 1
+MATERIAL_REFRACTIVE = 2
+MATERIAL_MIRROR = 3
+
+
 @dataclass
 class MaterialDesc:
     """Host-side material description (role of MaterialInstance, Scene.h:12-17)."""
@@ -35,6 +42,8 @@ class MaterialDesc:
     roughness_g: float = 1.0                    # stored "G channel" value
     metallic: float = 0.0
     emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    material_type: int = MATERIAL_DIFFUSE_SPECULAR
+    ior: float = 1.5
 
     @property
     def is_emissive(self) -> bool:
@@ -53,11 +62,20 @@ def obj_material_heuristics(name: str,
                             emission: Tuple[float, float, float],
                             shininess: float,
                             illum: int,
-                            diffuse_texname: str = "") -> MaterialDesc:
-    """MTL -> PBR conversion, matching Scene.cpp:156-175 exactly."""
+                            diffuse_texname: str = "",
+                            ior: float = 1.5) -> MaterialDesc:
+    """MTL -> PBR conversion, matching Scene.cpp:156-175 exactly, extended
+    with MTL's classic ray-tracing illumination modes the reference left
+    unimplemented: illum 5 -> perfect mirror, illum 6/7 -> refractive with
+    Ni as the index of refraction."""
     tr_ggx_roughness = 2.0 / (shininess + 2.0)
     beckmann_roughness = math.sqrt(tr_ggx_roughness)
     metallic = 1.0 if max(specular) > 0.3 else 0.0
+    mtype = MATERIAL_DIFFUSE_SPECULAR
+    if illum == 5:
+        mtype = MATERIAL_MIRROR
+    elif illum in (6, 7):
+        mtype = MATERIAL_REFRACTIVE
     return MaterialDesc(
         name=name,
         albedo=tuple(diffuse),
@@ -65,6 +83,8 @@ def obj_material_heuristics(name: str,
         roughness_g=beckmann_roughness,
         metallic=metallic,
         emission=tuple(emission),
+        material_type=mtype,
+        ior=ior,
     )
 
 
@@ -77,6 +97,8 @@ class MaterialTable(NamedTuple):
     emission: np.ndarray    # [M, 3] f32
     emissive: np.ndarray    # [M]    bool
     albedo_tex: np.ndarray  # [M]    i32  atlas slot, -1 = constant color
+    mtype: np.ndarray = None  # [M]  i32  MATERIAL_* enum
+    ior: np.ndarray = None    # [M]  f32
 
 
 def pack_materials(materials: List[MaterialDesc],
@@ -90,6 +112,8 @@ def pack_materials(materials: List[MaterialDesc],
         emission=np.zeros((m, 3), np.float32),
         emissive=np.zeros((m,), bool),
         albedo_tex=np.full((m,), -1, np.int32),
+        mtype=np.full((m,), MATERIAL_DIFFUSE_SPECULAR, np.int32),
+        ior=np.full((m,), 1.5, np.float32),
     )
     for i, mat in enumerate(materials):
         table.albedo[i] = mat.albedo
@@ -97,6 +121,8 @@ def pack_materials(materials: List[MaterialDesc],
         table.metallic[i] = mat.metallic
         table.emission[i] = mat.emission
         table.emissive[i] = mat.is_emissive
+        table.mtype[i] = mat.material_type
+        table.ior[i] = mat.ior
         if atlas_slots and mat.albedo_texture in atlas_slots:
             table.albedo_tex[i] = atlas_slots[mat.albedo_texture]
     return table

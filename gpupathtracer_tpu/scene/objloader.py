@@ -29,7 +29,7 @@ def load_mtl(path: str) -> Dict[str, MaterialDesc]:
             mats[cur["name"]] = obj_material_heuristics(
                 name=cur["name"], diffuse=cur["Kd"], specular=cur["Ks"],
                 emission=cur["Ke"], shininess=cur["Ns"], illum=cur["illum"],
-                diffuse_texname=cur["map_Kd"])
+                diffuse_texname=cur["map_Kd"], ior=cur["Ni"])
 
     with open(path, errors="replace") as f:
         for raw in f:
@@ -42,7 +42,7 @@ def load_mtl(path: str) -> Dict[str, MaterialDesc]:
                 _flush()
                 cur = dict(name=" ".join(parts[1:]), Kd=(0.8, 0.8, 0.8),
                            Ks=(0.0, 0.0, 0.0), Ke=(0.0, 0.0, 0.0),
-                           Ns=0.0, illum=2, map_Kd="")
+                           Ns=0.0, illum=2, map_Kd="", Ni=1.5)
             elif cur is None:
                 continue
             elif key in ("Kd", "Ks", "Ke"):
@@ -51,6 +51,8 @@ def load_mtl(path: str) -> Dict[str, MaterialDesc]:
                 cur["Ns"] = float(parts[1])
             elif key == "illum":
                 cur["illum"] = int(float(parts[1]))
+            elif key == "Ni":
+                cur["Ni"] = float(parts[1])
             elif key == "map_Kd":
                 cur["map_Kd"] = parts[-1]
     _flush()

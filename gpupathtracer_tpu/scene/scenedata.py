@@ -36,6 +36,8 @@ class SceneData(NamedTuple):
     mat_rough_g: jnp.ndarray   # [M]
     mat_metallic: jnp.ndarray  # [M]
     mat_emission: jnp.ndarray  # [M, 3]
+    mat_type: jnp.ndarray      # [M] i32 MATERIAL_* enum (mirror/refractive)
+    mat_ior: jnp.ndarray       # [M] f32 index of refraction
     # Emitters (cumulative-area CDF, Scene.cpp:296-331)
     light_cdf: jnp.ndarray     # [L] cumulative areas (ascending)
     light_tri: jnp.ndarray     # [L] triangle index
@@ -65,6 +67,7 @@ class SceneMeta:
     stack_depth: int           # traversal stack bound from the wide depth
     leaf_size: int
     has_textures: bool = False
+    has_delta: bool = False    # any mirror/refractive materials
     bvh_stats: Optional[BuildStats] = None
     name: str = ""
 
@@ -137,6 +140,8 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         mat_rough_g=jnp.asarray(table.rough_g),
         mat_metallic=jnp.asarray(table.metallic),
         mat_emission=jnp.asarray(table.emission),
+        mat_type=jnp.asarray(table.mtype),
+        mat_ior=jnp.asarray(table.ior),
         light_cdf=jnp.asarray(cdf),
         light_tri=jnp.asarray(idx),
         total_light_area=jnp.float32(total_area),
@@ -163,6 +168,7 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         stack_depth=stack_depth,
         leaf_size=cfg.leaf_size,
         has_textures=bool((table.albedo_tex >= 0).any()),
+        has_delta=bool((table.mtype != 1).any()),
         bvh_stats=stats,
         name=name,
     )
@@ -193,7 +199,9 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
                               metallic=cached["m_metal"],
                               emission=cached["m_emission"],
                               emissive=cached["m_emissive"],
-                              albedo_tex=cached["m_tex"])
+                              albedo_tex=cached["m_tex"],
+                              mtype=cached["m_type"],
+                              ior=cached["m_ior"])
         wide = _Wide(child_bounds=cached["child_bounds"],
                      child_entry=cached["child_entry"], refs=cached["refs"])
         st = cached["stats"]

@@ -184,3 +184,71 @@ def test_scene_txt_end_to_end(tmp_path):
     img = r.film_hdr()
     assert np.isfinite(img).all()
     assert img.max() > 0.5  # white env visible
+
+
+def test_mirror_material():
+    """illum 5 mirror: the camera sees the light's reflection in the floor."""
+    import tempfile, os
+    from gpupathtracer_tpu.scene.materials import MATERIAL_MIRROR
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "m.mtl"), "w") as f:
+        f.write("newmtl mirror\nKd 0.9 0.9 0.9\nNs 1000\nillum 5\n"
+                "newmtl light\nKd 0 0 0\nKe 10 10 10\nNs 1\n")
+    with open(os.path.join(d, "s.obj"), "w") as f:
+        f.write("mtllib m.mtl\n"
+                "v -5 0 -5\nv 5 0 -5\nv 5 0 5\nv -5 0 5\n"   # mirror floor
+                "v -1 4 -1\nv 1 4 -1\nv 1 4 1\nv -1 4 1\n"   # light above
+                "vn 0 1 0\nvn 0 -1 0\n"
+                "usemtl mirror\nf 1//1 4//1 3//1 2//1\n"
+                "usemtl light\nf 5//2 6//2 7//2 8//2\n")
+    from gpupathtracer_tpu.scene.objloader import load_obj
+    mesh, mats = load_obj(os.path.join(d, "s.obj"))
+    assert any(m.material_type == MATERIAL_MIRROR for m in mats)
+
+    cfg = RenderConfig(scene_path=os.path.join(d, "s.obj"),
+                       skybox="GENERATE COLOR BLACK", width=32, height=32,
+                       ray_chunk=1024, max_bounces=4)
+    # Camera above the floor, looking down at the mirror between the light.
+    cfg.camera = CameraConfig(position=(3.0, 2.5, 0.0), yaw=-math.pi / 2,
+                              pitch=-0.8, fov=math.radians(60), aspect=1.0)
+    r = Renderer(cfg)
+    assert r.meta.has_delta
+    for _ in range(16):
+        r.render_frame()
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+    # The mirrored light must appear: some floor pixels reflect ~10.
+    assert img.max() > 3.0, img.max()
+    # And the mirror itself adds no diffuse: dark floor away from the
+    # reflection.
+    assert np.percentile(img, 20) < 0.5
+
+
+def test_glass_furnace():
+    """Refractive sphere in a white furnace: reflect+refract with albedo 1
+    conserves energy (mean stays ~1)."""
+    from gpupathtracer_tpu.scene import pack_scene
+    from gpupathtracer_tpu.scene.envmap import from_color
+    from gpupathtracer_tpu.scene.mesh import build_triangle_soup
+    from gpupathtracer_tpu.scene.procedural import SceneBuilder
+    from gpupathtracer_tpu.scene.materials import MATERIAL_REFRACTIVE
+
+    sb = SceneBuilder()
+    glass = sb.add_material(name="glass", albedo=(1.0, 1.0, 1.0),
+                            material_type=MATERIAL_REFRACTIVE, ior=1.5)
+    sb.add_icosphere([0, 0, 0], 1.0, glass, subdiv=3)
+    mesh, mats = sb.build()
+    cfg = RenderConfig(width=24, height=24, ray_chunk=576, max_bounces=24)
+    cfg.camera = CameraConfig(position=(0, 0, -4), yaw=math.pi,
+                              fov=math.radians(40), aspect=1.0)
+    scene, meta = pack_scene(build_triangle_soup(mesh), mats,
+                             from_color((1.0, 1.0, 1.0)), cfg)
+    assert meta.has_delta
+    r = Renderer(cfg, scene=scene, meta=meta)
+    for _ in range(16):
+        r.render_frame()
+    img = r.film_hdr()
+    assert np.isfinite(img).all()
+    # Slight downward bias from the 24-bounce cap truncating total-internal-
+    # reflection chains (RR never kills albedo-1 paths).
+    assert 0.80 < img.mean() < 1.1, img.mean()
