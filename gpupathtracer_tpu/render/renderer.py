@@ -131,7 +131,8 @@ class Renderer:
             traversal=self.cfg.traversal,
             packet_size=min(self.cfg.packet_size, self.chunk),
             textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
-            nee=self.cfg.nee_enabled)
+            nee=self.cfg.nee_enabled,
+            delta=getattr(self.meta, "has_delta", False))
 
     def _render_chunk(self, integrator: str, sl: slice, key):
         """Returns ([C,3] contribution, rays traced)."""

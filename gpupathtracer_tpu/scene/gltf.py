@@ -140,6 +140,14 @@ def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
         strength = (m.get("extensions", {})
                     .get("KHR_materials_emissive_strength", {})
                     .get("emissiveStrength", 1.0))
+        from gpupathtracer_tpu.scene.materials import (
+            MATERIAL_DIFFUSE_SPECULAR, MATERIAL_REFRACTIVE)
+        exts = m.get("extensions", {})
+        transmission = exts.get("KHR_materials_transmission", {}) \
+            .get("transmissionFactor", 0.0)
+        ior = exts.get("KHR_materials_ior", {}).get("ior", 1.5)
+        mtype = (MATERIAL_REFRACTIVE if transmission > 0.5
+                 else MATERIAL_DIFFUSE_SPECULAR)
         materials.append(MaterialDesc(
             name=m.get("name", ""),
             albedo=tuple(base[:3]),
@@ -147,6 +155,8 @@ def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
             roughness_g=float(pbr.get("roughnessFactor", 1.0)),
             metallic=float(pbr.get("metallicFactor", 1.0)),
             emission=tuple(float(e) * strength for e in emissive),
+            material_type=mtype,
+            ior=float(ior),
         ))
 
     # Walk the scene graph, collecting transformed primitives.
