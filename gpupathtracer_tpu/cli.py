@@ -105,6 +105,10 @@ def main(argv=None) -> int:
                    help="save a resumable checkpoint here when done")
     p.add_argument("--resume", default=None,
                    help="resume a progressive render from this checkpoint")
+    p.add_argument("--orbit", type=int, default=0, metavar="N",
+                   help="render N frames orbiting the camera around its "
+                        "look-at point (the interactive-camera role); "
+                        "writes out-000.png ... out-NNN.png")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -130,6 +134,33 @@ def main(argv=None) -> int:
 
     out = args.out or timestamped_name(
         os.path.splitext(os.path.basename(args.scene))[0].replace(":", "_"))
+
+    if args.orbit:
+        # Turntable: rotate the camera position about the vertical axis
+        # through its focus point, resetting accumulation per frame
+        # (Program.cpp camera-move semantics).
+        import numpy as np
+        base_cfg = r.cfg.camera
+        pos0 = np.asarray(base_cfg.position, np.float64)
+        stem, ext = os.path.splitext(out)
+        for f in range(args.orbit):
+            ang = 2.0 * math.pi * f / args.orbit
+            c, sn = math.cos(ang), math.sin(ang)
+            import dataclasses as _dc
+            cam = _dc.replace(base_cfg,
+                              position=(pos0[0] * c - pos0[2] * sn, pos0[1],
+                                        pos0[0] * sn + pos0[2] * c),
+                              yaw=base_cfg.yaw + ang)
+            r.set_camera(cam)
+            for _ in range(args.spp):
+                r.render_frame()
+            frame_path = f"{stem}-{f:03d}{ext}"
+            r.save_screenshot(frame_path)
+            print(f"orbit frame {f + 1}/{args.orbit} -> {frame_path}",
+                  file=sys.stderr)
+        print(f"{args.orbit} frames | {r.stats.report()}", file=sys.stderr)
+        print(out)
+        return 0
 
     for s in range(args.spp):
         r.render_frame()
