@@ -400,11 +400,14 @@ struct Builder {
             if (sp.sah < best.sah) best = sp;
           }
         }
-        // Subdivision test (BVH.cpp:2123-2126).
+        // Subdivision test (BVH.cpp:2123-2126). A node with no viable SAH
+        // split (e.g. coincident centroids) may only become a leaf if it
+        // fits the leaf cap — otherwise fall through to the median split.
         float leafCost = kCostIntersection * n;
         float splitCost = kCostTraversal +
                           best.sah / std::max(t.box.halfArea(), 1e-20f);
-        if (best.axis < 0 || (n <= maxLeaf && splitCost >= leafCost)) {
+        if (n <= maxLeaf &&
+            (best.axis < 0 || splitCost >= leafCost)) {
           makeLeaf(t.node, t.refs);
           continue;
         }

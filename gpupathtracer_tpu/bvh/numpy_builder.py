@@ -135,25 +135,32 @@ def build_binary_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                 best_axis = axis
                 best_cut = cut
 
-        # Subdivision test (BVH.cpp:2123-2126, 2156-2165).
+        # Subdivision test (BVH.cpp:2123-2126, 2156-2165). A node with no
+        # viable SAH split (coincident centroids) may only become a leaf if
+        # it fits the leaf cap; otherwise force a median split below.
         leaf_cost = COST_INTERSECTION * n
         split_cost = COST_TRAVERSAL + best_sah / max(parent_sa, 1e-20)
-        if best_axis < 0 or (n <= max_leaf and split_cost >= leaf_cost):
+        if n <= max_leaf and (best_axis < 0 or split_cost >= leaf_cost):
             make_leaf()
             continue
 
-        # Partition refs by the chosen bin cut (re-binning, BVH.cpp:1685-1710).
-        k1 = NUM_BINS * (1.0 - 1e-6) / extent[best_axis]
-        bin_id = np.clip((k1 * (c[:, best_axis] - cb_min[best_axis])).astype(np.int32),
-                         0, NUM_BINS - 1)
-        go_left = bin_id <= best_cut
-        n_left = int(go_left.sum())
-        if n_left == 0 or n_left == n:  # numeric fallback: median split
-            order = np.argsort(c[:, best_axis], kind="stable")
-            refs[lo:hi] = idx[order]
+        if best_axis < 0:  # degenerate: split by index (coincident centroids)
             n_left = n // 2
         else:
-            refs[lo:hi] = np.concatenate([idx[go_left], idx[~go_left]])
+            # Partition refs by the chosen bin cut (re-binning,
+            # BVH.cpp:1685-1710).
+            k1 = NUM_BINS * (1.0 - 1e-6) / extent[best_axis]
+            bin_id = np.clip(
+                (k1 * (c[:, best_axis] - cb_min[best_axis])).astype(np.int32),
+                0, NUM_BINS - 1)
+            go_left = bin_id <= best_cut
+            n_left = int(go_left.sum())
+            if n_left == 0 or n_left == n:  # numeric fallback: median split
+                order = np.argsort(c[:, best_axis], kind="stable")
+                refs[lo:hi] = idx[order]
+                n_left = n // 2
+            else:
+                refs[lo:hi] = np.concatenate([idx[go_left], idx[~go_left]])
 
         lchild = alloc_node()
         rchild = alloc_node()
