@@ -65,7 +65,7 @@ class WideBVH(NamedTuple):
         ~constant per row regardless of width, measured ~28 ns/row on v5e;
         everything a step needs lives in one row).
 
-    node_rows [W + L, 64] f32. Rows 0..W-1 are nodes: cols 0:48 = 8 children
+    node_rows [W + L, 128] f32. Rows 0..W-1 are nodes: cols 0:48 = 8 children
     x (min.xyz, max.xyz), cols 48:56 = child entries (int32 bit-cast), rest
     pad. Rows W..W+L-1 are leaves: per triangle slot k (k < leaf_size, up to
     5 slots), 12 cols = (p0.xyz, e1.xyz, e2.xyz, prim_id bitcast, pad, pad);
@@ -77,7 +77,7 @@ class WideBVH(NamedTuple):
     child_bounds: np.ndarray  # [W, 8, 6] f32: [...,0:3]=min, [...,3:6]=max
     child_entry: np.ndarray   # [W, 8] i32 encoded entries (first_ref form)
     refs: np.ndarray          # [R] i32 triangle indices
-    node_rows: np.ndarray = None     # [W+L, 64] f32 merged packet table
+    node_rows: np.ndarray = None     # [W+L, 128] f32 merged packet table
     packet_entry: np.ndarray = None  # [W, 8] i32 entries (merged-row form)
 
     @property

@@ -18,6 +18,10 @@ import numpy as np
 from gpupathtracer_tpu.bvh.types import (INVALID_ENTRY, BinaryBVH, WideBVH,
                                          encode_leaf_entry)
 
+# Merged-table row width in f32 lanes. 128 = one TPU vector-register lane
+# row, the alignment unit Mosaic requires for dynamic VMEM slices.
+ROW_WIDTH = 128
+
 
 def collapse_to_wide(bvh: BinaryBVH, arity: int = 8) -> Tuple[WideBVH, int]:
     """Collapse a binary BVH to an `arity`-wide flat BVH.
@@ -94,8 +98,12 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     A traversal pop then needs exactly one row gather per packet — the unit
     the TPU's gather hardware prices at (~28 ns/row on v5e regardless of
     row width).
+
+    Rows are 128 f32 wide: the TPU lane width, so a Pallas kernel can
+    dynamic-slice one row from a VMEM-resident table (Mosaic requires
+    lane-aligned slices), and leaves can pack up to 10 triangles.
     """
-    assert leaf_size * 12 <= 64
+    assert leaf_size * 12 <= ROW_WIDTH
     W = wide.num_nodes
     entries = wide.child_entry
     is_leaf = (entries != INVALID_ENTRY) & (entries < 0)
@@ -108,7 +116,7 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     if np.any(count > leaf_size):
         raise ValueError(f"leaf count {count.max()} exceeds leaf_size {leaf_size}")
     L = max(len(first), 1)
-    leaf_rows = np.zeros((L, 64), np.float32)
+    leaf_rows = np.zeros((L, ROW_WIDTH), np.float32)
     refs = wide.refs
     for k in range(leaf_size):
         have = k < count
@@ -130,7 +138,7 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     packet_entry[leaf_pos] = (-((merged_row_idx << 4) | count) - 1).astype(np.int32)
 
     # --- merged table ------------------------------------------------------
-    node_rows = np.zeros((W + L, 64), np.float32)
+    node_rows = np.zeros((W + L, ROW_WIDTH), np.float32)
     node_rows[:W, 0:48] = wide.child_bounds.reshape(W, 48)
     node_rows[:W, 48:56] = packet_entry.view(np.float32)
     node_rows[W:] = leaf_rows

@@ -21,7 +21,7 @@ broadcast node data, streamed ray data. Packets map to Morton film tiles
 coherent; divergent bounce packets visit the union of their rays' nodes.
 
 Layouts: rays [P, 3, K] (K minor = lanes), per-ray state [P, K],
-stacks [P, D], merged rows [W + L, 64] (see bvh/types.py WideBVH).
+stacks [P, D], merged rows [W + L, 128] (see bvh/types.py WideBVH).
 """
 
 from __future__ import annotations
@@ -74,7 +74,7 @@ def _traverse_packets(rows, o, d, t_max, active,
                       unroll: int = 1, pass1_cap: int = 48,
                       prefix_div: int = 32, pass2_cap: int = 8192,
                       outer_cap: int = 64):
-    """rows: merged [W+L, 64] table; o, d: [P, K, 3]; t_max, active: [P, K].
+    """rows: merged [W+L, 128] table; o, d: [P, K, 3]; t_max, active: [P, K].
 
     Lockstep-tail compaction: measured on Sponza-class scenes, the deepest
     packet needs ~18x the median pop count (676 vs p50=14), and a single
@@ -118,7 +118,7 @@ def _traverse_packets(rows, o, d, t_max, active,
         # ---- one merged-row fetch per packet --------------------------
         lpacked = jnp.where(is_leaf, -(entry + 1), 0)
         ridx = jnp.where(is_leaf, lpacked >> 4, jnp.where(is_node, entry, 0))
-        row = rows[ridx]                          # [Pc, 64]
+        row = rows[ridx]                          # [Pc, 128]
 
         # ---- node expansion: per-ray slab over 8 children --------------
         # (a conservative packet-frustum interval test was tried here and

@@ -34,8 +34,8 @@ def _closest_kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     *, stack_depth: int, leaf_size: int, any_hit: bool):
     """One packet per grid step.
 
-    o/d/inv: [3, K] VMEM; tmax/act: [1, K]; rows_ref: [M, 64] in ANY/HBM.
-    outs: [1, K]. stack: SMEM (D,), rowbuf: VMEM (2, 64), sem: DMA (2,).
+    o/d/inv: [3, K] VMEM; tmax/act: [1, K]; rows_ref: [M, 128] in ANY/HBM.
+    outs: [1, K]. stack: SMEM (D,), rowbuf: VMEM (2, 128), sem: DMA (2,).
     """
     K = o_ref.shape[1]
 
@@ -63,7 +63,7 @@ def _closest_kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
         cp = fetch(slot, ridx)
         cp.start()
         cp.wait()
-        row = rowbuf[pl.ds(slot, 1), :]          # [1, 64]
+        row = rowbuf[pl.ds(slot, 1), :]          # [1, 128]
         # One vector-wide bitcast (Mosaic rejects scalar bitcasts); integer
         # fields (child entries, prim ids) are read from this view.
         row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
@@ -161,7 +161,7 @@ def _closest_kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 def traverse_pallas(rows, o, d, t_max, active,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False):
-    """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 64].
+    """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     Returns (t, prim, u, v) each [P, K]."""
     P, K, _ = o.shape
     oT = jnp.transpose(o, (0, 2, 1))   # [P, 3, K]
@@ -193,7 +193,7 @@ def traverse_pallas(rows, o, d, t_max, active,
         out_shape=[squeeze_spec(jnp.float32), squeeze_spec(jnp.int32),
                    squeeze_spec(jnp.float32), squeeze_spec(jnp.float32)],
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
-                        pltpu.VMEM((2, 64), jnp.float32),
+                        pltpu.VMEM((2, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(oT, dT, invT, t_max[:, None, :], active[:, None, :], rows)

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CACHE_VERSION = 6  # bump when array formats or builder behavior change
+CACHE_VERSION = 7  # bump when array formats or builder behavior change
 
 
 def _scene_fingerprint(cfg) -> str:
