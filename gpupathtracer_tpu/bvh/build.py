@@ -18,8 +18,12 @@ def build_wide_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                    leaf_size: int = 4, arity: int = 8,
                    builder: str = "auto",
                    spatial_splits: bool = True,
+                   force_leaf: bool = False,
                    verbose: bool = False) -> Tuple[WideBVH, BuildStats]:
-    """Build the flattened wide BVH over world-space triangles [T, 3] each."""
+    """Build the flattened wide BVH over world-space triangles [T, 3] each.
+
+    force_leaf packs leaves to leaf_size unconditionally (fewer, fatter
+    leaves — tuned for packet pops; see PERF.md leaf-density sweep)."""
     binary = None
     stats: Optional[BuildStats] = None
 
@@ -27,14 +31,16 @@ def build_wide_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         try:
             from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
             binary, stats = build_sbvh_cpp(p0, p1, p2, max_leaf=leaf_size,
-                                           spatial_splits=spatial_splits)
+                                           spatial_splits=spatial_splits,
+                                           force_leaf=force_leaf)
         except Exception:
             if builder == "cpp":
                 raise
 
     if binary is None:
         from gpupathtracer_tpu.bvh.numpy_builder import build_binary_bvh
-        binary, stats = build_binary_bvh(p0, p1, p2, max_leaf=leaf_size)
+        binary, stats = build_binary_bvh(p0, p1, p2, max_leaf=leaf_size,
+                                         force_leaf=force_leaf)
 
     wide, max_depth = collapse_to_wide(binary, arity=arity)
     assert stats is not None

@@ -30,11 +30,15 @@ def _half_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
 
 
 def build_binary_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-                     max_leaf: int = 4, min_leaf: int = 1) -> Tuple[BinaryBVH, BuildStats]:
+                     max_leaf: int = 4, min_leaf: int = 1,
+                     force_leaf: bool = False) -> Tuple[BinaryBVH, BuildStats]:
     """Build a binary BVH over world-space triangles.
 
     Args: p0/p1/p2 [T,3] float32 triangle vertices. max_leaf caps leaf size
-    (must fit the 4-bit wide-leaf encoding, so <= 15).
+    (must fit the 4-bit wide-leaf encoding, so <= 15). force_leaf packs any
+    node with <= max_leaf refs into a leaf unconditionally — fatter leaves
+    for packet/Pallas trees where pops, not triangle tests, are the
+    expensive unit (each pop already pays a full-width row of tests).
     """
     assert 1 <= max_leaf <= 15
     t_start = time.perf_counter()
@@ -86,7 +90,7 @@ def build_binary_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
             count_l[node] = n
             num_leaves += 1
 
-        if n <= min_leaf:
+        if n <= min_leaf or (force_leaf and n <= max_leaf):
             make_leaf()
             continue
 

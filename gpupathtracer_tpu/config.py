@@ -67,6 +67,7 @@ class RenderConfig:
     stack_depth: int = 48
     wide_arity: int = 8                    # children per wide-BVH node
     leaf_size: int = 4                     # max triangles per wide-BVH leaf
+    force_leaf: bool = False               # pack leaves to leaf_size unconditionally
     traversal: str = "packet"              # "packet" (TPU fast path) | "perray"
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per shared-stack packet

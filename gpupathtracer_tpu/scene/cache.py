@@ -24,7 +24,8 @@ def _scene_fingerprint(cfg) -> str:
         st = os.stat(ident)
         ident += f":{st.st_mtime_ns}:{st.st_size}"
     key = (f"v{CACHE_VERSION}|{ident}|leaf{cfg.leaf_size}|ar{cfg.wide_arity}"
-           f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}|{_builder_fingerprint()}")
+           f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}|fl{cfg.force_leaf}"
+           f"|{_builder_fingerprint()}")
     return hashlib.sha1(key.encode()).hexdigest()[:20]
 
 

@@ -107,7 +107,8 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
     p0, p1, p2 = soup.vertices()
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
-                                 spatial_splits=cfg.spatial_splits)
+                                 spatial_splits=cfg.spatial_splits,
+                                 force_leaf=cfg.force_leaf)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env,
                    cfg, name, atlas_img, atlas_rects)
 
@@ -234,7 +235,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
     p0, p1, p2 = soup.vertices()
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
-                                 spatial_splits=cfg.spatial_splits)
+                                 spatial_splits=cfg.spatial_splits,
+                                 force_leaf=cfg.force_leaf)
     if cfg.cache_enabled:
         scache.save_scene_cache(cfg, soup, table, idx, cdf, total_area,
                                 wide, stats, atlas_img, atlas_rects)
