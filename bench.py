@@ -22,6 +22,9 @@ import time
 def main() -> None:
     import jax
 
+    from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from gpupathtracer_tpu.config import CameraConfig, RenderConfig
     from gpupathtracer_tpu.render import Renderer
 
@@ -51,15 +54,16 @@ def main() -> None:
 
     # Warmup / compile.
     t0 = time.time()
-    r.render_frame()
+    r.render_frame(sync=True)
     print(f"# first frame (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # Timed frames.
+    # Timed frames: enqueue async, sync once on the last (total time is
+    # attributed across the batch; per-sync cost ~33 ms on the tunnel).
     r.stats.frame_times.clear()
     r.stats.rays_traced = 0
     n_frames = 2 if quick else 8
-    for _ in range(n_frames):
-        r.render_frame()
+    for i in range(n_frames):
+        r.render_frame(sync=(i == n_frames - 1))
 
     mrays = r.stats.mrays_per_sec
     print(f"# {r.stats.report()}", file=sys.stderr)

@@ -66,6 +66,8 @@ def build_config(args) -> "RenderConfig":
 
 
 def main(argv=None) -> int:
+    from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(
         prog="gpupathtracer_tpu",
         description="TPU-native progressive path tracer")
@@ -163,7 +165,9 @@ def main(argv=None) -> int:
         return 0
 
     for s in range(args.spp):
-        r.render_frame()
+        # First frame syncs (captures compile time); the rest enqueue async
+        # and drain at screenshot/report time (~33 ms/sync on the tunnel).
+        r.render_frame(sync=(s == 0))
         if s == 0:
             print(f"first sample (incl. compile): "
                   f"{r.stats.frame_times[0]:.1f}s", file=sys.stderr)

@@ -66,11 +66,16 @@ class RenderConfig:
     ray_chunk: int = 1 << 17               # rays per traversal chunk (memory/divergence knob)
     stack_depth: int = 48
     wide_arity: int = 8                    # children per wide-BVH node
-    leaf_size: int = 4                     # max triangles per wide-BVH leaf
-    force_leaf: bool = False               # pack leaves to leaf_size unconditionally
-    traversal: str = "packet"              # "packet" (TPU fast path) | "perray"
+    # Tree shape tuned for packet pops (PERF.md leaf-density sweep): fat
+    # forced leaves beat the reference's GPU-optimal 1.01-tri leaves 2.8x
+    # on TPU and shrink the merged table ~7x.
+    leaf_size: int = 10                    # max triangles per wide-BVH leaf
+    force_leaf: bool = True                # pack leaves to leaf_size unconditionally
+    traversal: str = "auto"                # "auto" | "pallas" (on-core kernel) | "packet" | "perray"
+    sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
-    packet_size: int = 128                 # rays per shared-stack packet
+    packet_size: int = 128                 # rays per XLA shared-stack packet
+    pallas_packet_size: int = 1024         # rays per Pallas kernel packet (mult of 128)
     bvh_builder: str = "auto"              # "auto" | "cpp" | "numpy"
     spatial_splits: bool = True            # SBVH spatial splits (C++ builder)
     use_float32: bool = True

@@ -54,7 +54,10 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        textured: bool = False,
                        sun: bool = False,
                        sort_rays: bool = False,
-                       delta: bool = False):
+                       delta: bool = False,
+                       compaction: bool = True,
+                       compaction_divs: tuple = (8, 64),
+                       compaction_min: int = 4096):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -121,16 +124,14 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         rays=jnp.int32(0),
     )
 
-    def cond(c: Carry):
-        return jnp.any(c.alive) & (c.i <= max_bounces + 1)
-
     def body(c: Carry) -> Carry:
+        nw = c.o.shape[0]  # current (phase) wavefront width
         key, k = jax.random.split(c.key)
-        rnd = jax.random.uniform(k, (n, 9))
+        rnd = jax.random.uniform(k, (nw, 9))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
-        t_max_full = jnp.full((n,), T_MAX, jnp.float32)
-        if sort_rays and traversal == "packet":
+        t_max_full = jnp.full((nw,), T_MAX, jnp.float32)
+        if sort_rays and traversal != "perray":
             perm = ray_sort_perm(c.o, c.d, c.alive)
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
                                   c.alive[perm], stack_depth=stack_depth,
@@ -186,7 +187,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             is_glass = mtype == 2
             is_delta = is_mirror | is_glass
         else:
-            is_delta = jnp.zeros((n,), bool)
+            is_delta = jnp.zeros((nw,), bool)
 
         # --- NEE (Iterative.comp:272-280) ---
         if nee:
@@ -260,11 +261,54 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                      pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive,
                      rays=rays)
 
-    final = jax.lax.while_loop(cond, body, init)
-    return final.contribution, final.rays
+    # --- Bounce-epoch live-path compaction --------------------------------
+    # Role of the persistent-thread refill (Iterative.comp:174-210, 261-300):
+    # instead of atomically replacing dead lanes, run the bounce loop at full
+    # width only while many paths are alive, then gather survivors into
+    # shrinking static buffers. The Russian-roulette tail (a handful of live
+    # paths for up to 64 bounces) then pays 1/8- and 1/64-width traversals
+    # instead of full-width ones. Unbiased: a phase only ends early once the
+    # live count fits the next buffer, and every survivor continues there.
+    widths = [n]
+    if compaction:
+        for div in compaction_divs:
+            wn = max(n // div, compaction_min)
+            if wn < widths[-1]:
+                widths.append(wn)
+
+    def cap(c: Carry):
+        return c.i <= max_bounces + 1
+
+    total = None
+    src = None  # compacted lane -> film lane; None while at full width
+    c = init
+    for j in range(len(widths)):
+        nxt = widths[j + 1] if j + 1 < len(widths) else None
+        if nxt is None:
+            c = jax.lax.while_loop(lambda c: jnp.any(c.alive) & cap(c),
+                                   body, c)
+        else:
+            c = jax.lax.while_loop(
+                lambda c: (jnp.sum(c.alive) > nxt) & cap(c), body, c)
+        # Fold this phase's contributions back into film-lane space.
+        if src is None:
+            total = c.contribution
+        else:
+            total = total.at[src].add(c.contribution)
+        if nxt is not None:
+            order = jnp.argsort(~c.alive, stable=True)[:nxt]  # alive first
+            src = order if src is None else src[order]
+            c = Carry(i=c.i, key=c.key, o=c.o[order], d=c.d[order],
+                      throughput=c.throughput[order],
+                      contribution=jnp.zeros((nxt, 3), jnp.float32),
+                      pdf0=c.pdf0[order], pdf1=c.pdf1[order],
+                      last_pos=c.last_pos[order], alive=c.alive[order],
+                      rays=c.rays)
+    return total, c.rays
 
 
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "packet_size", "textured", "sun",
-    "sort_rays", "delta"))(render_sample_impl)
+    "sort_rays", "delta", "compaction", "compaction_divs",
+    "compaction_min"))(render_sample_impl)

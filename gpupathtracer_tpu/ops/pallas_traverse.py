@@ -235,6 +235,13 @@ def traverse_pallas(rows, o, d, t_max, active,
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((2, LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
+        # The table blows the default 16 MB scoped-VMEM budget; size the
+        # limit to table + double-buffered ray/output blocks + slack.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (rows.size * rows.dtype.itemsize if table_in_vmem else 0)
+                + 64 * G * LANES * 4 + 4 * 1024 * 1024,
+                120 * 1024 * 1024)),
         interpret=interpret,
     )(oT, dT, invT, t_max.reshape(P, G, LANES),
       active.reshape(P, G, LANES), rows)

@@ -173,25 +173,71 @@ def any_hit(wbvh, tri_geom, o, d, t_max, active=None,
     return prim >= 0
 
 
-def _fit_packet_size(n: int, packet_size: int) -> int:
-    """Largest packet size <= requested that tiles n exactly."""
-    ps = max(min(packet_size, n), 1)
-    while n % ps:
-        ps -= 1 if ps % 2 else ps // 2  # try halving, then linear fallback
-    return ps
+def resolve_traversal(name: str) -> str:
+    """Resolve the "auto" traversal choice against the active backend.
+
+    "pallas" (the on-core kernel) is the TPU fast path; elsewhere it would
+    run in the Pallas interpreter, so "auto" picks the XLA packet path on
+    non-TPU backends (tests, CPU debugging).
+    """
+    if name == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "packet"
+    return name
+
+
+def _pad_rays(o, d, t_max, active, multiple: int):
+    """Pad a wavefront to a multiple of the packet size with dead rays.
+
+    Replaces the old _fit_packet_size shrink-to-divisor heuristic, which
+    silently degraded to tiny packets for awkward N (e.g. primes). Fully
+    dead packets cost ~nothing in either packet implementation (compaction
+    skips them; the Pallas kernel exits before the first pop)."""
+    n = o.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        # Unit direction so inv-dir math stays finite on the padding.
+        dpad = jnp.zeros((pad, 3), d.dtype).at[:, 0].set(1.0)
+        d = jnp.concatenate([d, dpad])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    return o, d, t_max, active, n
+
+
+def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
+                leaf_size: int, packet_size: int, any_hit_mode: bool):
+    from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
+    K = max(LANES, (min(packet_size, o.shape[0]) // LANES) * LANES)
+    o, d, t_max, active, n = _pad_rays(o, d, t_max, active, K)
+    P = o.shape[0] // K
+    interpret = jax.default_backend() != "tpu"
+    t, prim, u, v = traverse_pallas(
+        scene.bvh.node_rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        t_max.reshape(P, K), active.reshape(P, K),
+        stack_depth=stack_depth, leaf_size=leaf_size,
+        any_hit=any_hit_mode, interpret=interpret)
+    return Hit(t=t.reshape(-1)[:n], prim=prim.reshape(-1)[:n],
+               u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
 
 
 def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                   leaf_size: int, traversal: str = "packet",
                   packet_size: int = 128) -> Hit:
-    """Dispatch between the per-ray and packet traversal implementations."""
+    """Dispatch between traversal implementations ("pallas" on-core kernel,
+    "packet" XLA shared-stack packets, "perray" lockstep)."""
+    traversal = resolve_traversal(traversal)
+    if traversal == "pallas":
+        return _pallas_hit(scene, o, d, t_max, active,
+                           stack_depth=stack_depth, leaf_size=leaf_size,
+                           packet_size=packet_size, any_hit_mode=False)
     if traversal == "packet":
         from gpupathtracer_tpu.ops.packet_traverse import closest_hit_packets
-        return closest_hit_packets(scene.bvh, o, d, t_max, active,
-                                   stack_depth=stack_depth,
-                                   leaf_size=leaf_size,
-                                   packet_size=_fit_packet_size(
-                                       o.shape[0], packet_size))
+        ps = min(packet_size, o.shape[0])
+        o, d, t_max, active, n = _pad_rays(o, d, t_max, active, ps)
+        hit = closest_hit_packets(scene.bvh, o, d, t_max, active,
+                                  stack_depth=stack_depth,
+                                  leaf_size=leaf_size, packet_size=ps)
+        return Hit(t=hit.t[:n], prim=hit.prim[:n], u=hit.u[:n], v=hit.v[:n])
     return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                        stack_depth=stack_depth, leaf_size=leaf_size)
 
@@ -200,11 +246,19 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                    leaf_size: int, traversal: str = "packet",
                    packet_size: int = 128):
     """Dispatch any-hit/occlusion query."""
+    traversal = resolve_traversal(traversal)
+    if traversal == "pallas":
+        hit = _pallas_hit(scene, o, d, t_max, active,
+                          stack_depth=stack_depth, leaf_size=leaf_size,
+                          packet_size=packet_size, any_hit_mode=True)
+        return hit.prim >= 0
     if traversal == "packet":
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets
-        return any_hit_packets(scene.bvh, o, d, t_max, active,
-                               stack_depth=stack_depth, leaf_size=leaf_size,
-                               packet_size=_fit_packet_size(
-                                   o.shape[0], packet_size))
+        ps = min(packet_size, o.shape[0])
+        o, d, t_max, active, n = _pad_rays(o, d, t_max, active, ps)
+        occ = any_hit_packets(scene.bvh, o, d, t_max, active,
+                              stack_depth=stack_depth, leaf_size=leaf_size,
+                              packet_size=ps)
+        return occ[:n]
     return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                    stack_depth=stack_depth, leaf_size=leaf_size)

@@ -65,6 +65,14 @@ class Renderer:
         self.chunk = n // n_chunks
         self.n_rays = n
 
+        # Resolve traversal once against the active backend; the Pallas
+        # kernel uses its own (bigger) packet size.
+        from gpupathtracer_tpu.ops.traverse import resolve_traversal
+        self.traversal = resolve_traversal(cfg.traversal)
+        self.packet_size = (cfg.pallas_packet_size
+                            if self.traversal == "pallas"
+                            else cfg.packet_size)
+
         self.accum = jnp.zeros((n, 3), jnp.float32)
         self.num_samples = 0
         self.base_key = jax.random.PRNGKey(cfg.seed)
@@ -94,30 +102,44 @@ class Renderer:
         self.camera = generate_image_plane(camera_cfg)
         self.reset_samples()
 
-    def render_frame(self, integrator: Optional[str] = None) -> None:
-        """Accumulate one sample per pixel (RenderFrame, Renderer.cpp:651-662)."""
+    def render_frame(self, integrator: Optional[str] = None,
+                     sync: bool = False) -> None:
+        """Accumulate one sample per pixel (RenderFrame, Renderer.cpp:651-662).
+
+        Fully asynchronous by default: a host sync costs ~33 ms through the
+        axon tunnel (PERF.md), so frames only enqueue device work and ray
+        counters stay device-side (drained lazily by FrameStats). Pass
+        sync=True (or call .sync()) to force completion — the frame's
+        recorded time then covers the whole drained pipeline, so timing
+        batches of k async frames + 1 sync frame stays honest in total.
+        """
         integrator = integrator or self.cfg.integrator
         timer = Timer(); timer.begin()
         sample_key = jax.random.fold_in(self.base_key, self.num_samples)
         if self.mesh is not None and integrator == "wavefront":
-            contribution, r = self._render_sharded(sample_key)
+            contribution, rays = self._render_sharded(sample_key)
             self.accum = self.accum + contribution
-            self.accum.block_until_ready()
             self.num_samples += self.samples_per_frame
-            self.stats.add_frame(timer.end(), int(r))
-            return
-        out, rays = [], 0
-        for c0 in range(0, self.n_rays, self.chunk):
-            key = jax.random.fold_in(sample_key, c0 // self.chunk)
-            sl = slice(c0, c0 + self.chunk)
-            contribution, r = self._render_chunk(integrator, sl, key)
-            out.append(contribution)
-            rays += int(r)
-        contribution = jnp.concatenate(out, axis=0)
-        self.accum = self.accum + contribution
-        self.accum.block_until_ready()
-        self.num_samples += 1
+        else:
+            out, rays = [], jnp.int32(0)
+            for c0 in range(0, self.n_rays, self.chunk):
+                key = jax.random.fold_in(sample_key, c0 // self.chunk)
+                sl = slice(c0, c0 + self.chunk)
+                contribution, r = self._render_chunk(integrator, sl, key)
+                out.append(contribution)
+                rays = rays + r
+            contribution = (out[0] if len(out) == 1
+                            else jnp.concatenate(out, axis=0))
+            self.accum = self.accum + contribution
+            self.num_samples += 1
+        if sync:
+            self.sync()
         self.stats.add_frame(timer.end(), rays)
+
+    def sync(self) -> None:
+        """Drain the device pipeline (readback-based: block_until_ready does
+        not reliably block through the axon tunnel)."""
+        float(jnp.sum(self.accum[0]))
 
     def _render_sharded(self, key):
         """One mesh-sharded frame = samples_per_frame spp (parallel/mesh.py)."""
@@ -128,8 +150,8 @@ class Renderer:
             max_bounces=self.cfg.max_bounces,
             stack_depth=self.meta.stack_depth,
             leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,
-            traversal=self.cfg.traversal,
-            packet_size=min(self.cfg.packet_size, self.chunk),
+            traversal=self.traversal,
+            packet_size=min(self.packet_size, self.chunk),
             textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
             nee=self.cfg.nee_enabled,
             delta=getattr(self.meta, "has_delta", False))
@@ -143,14 +165,15 @@ class Renderer:
                       stack_depth=self.meta.stack_depth,
                       leaf_size=self.meta.leaf_size,
                       model=self.cfg.microfacet,
-                      traversal=self.cfg.traversal,
-                      packet_size=min(self.cfg.packet_size, self.chunk),
+                      traversal=self.traversal,
+                      packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,
                       sun=self.cfg.sun_enabled,
                       delta=getattr(self.meta, "has_delta", False))
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
-                                 nee=self.cfg.nee_enabled, **kwargs)
+                                 nee=self.cfg.nee_enabled,
+                                 sort_rays=self.cfg.sort_rays, **kwargs)
         if integrator == "direct":
             # Real-time mode (BASELINE config 3): primary hit + NEE + one
             # BSDF continuation for specular/env, no deeper bounces.

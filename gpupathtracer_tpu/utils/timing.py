@@ -35,14 +35,29 @@ class Timer:
 
 @dataclass
 class FrameStats:
-    """Running average FPS + ray counters (Program.cpp:148-150 avg FPS report)."""
+    """Running average FPS + ray counters (Program.cpp:148-150 avg FPS report).
+
+    Ray counts may be recorded as device scalars: a host readback costs
+    ~33 ms through the axon tunnel (PERF.md), so the frame loop must never
+    sync. `finalize()` (or any stats property) drains pending device
+    counters with one deferred sync."""
 
     frame_times: List[float] = field(default_factory=list)
     rays_traced: int = 0
+    _pending: List = field(default_factory=list)
 
-    def add_frame(self, dt: float, rays: int = 0) -> None:
+    def add_frame(self, dt: float, rays=0) -> None:
         self.frame_times.append(dt)
-        self.rays_traced += int(rays)
+        if isinstance(rays, int):
+            self.rays_traced += rays
+        else:
+            self._pending.append(rays)  # device scalar, drained lazily
+
+    def finalize(self) -> None:
+        if self._pending:
+            import numpy as np
+            self.rays_traced += int(sum(np.asarray(r) for r in self._pending))
+            self._pending.clear()
 
     @property
     def avg_fps(self) -> float:
@@ -52,11 +67,13 @@ class FrameStats:
 
     @property
     def mrays_per_sec(self) -> float:
+        self.finalize()
         total = sum(self.frame_times)
         if total <= 0.0:
             return 0.0
         return self.rays_traced / total / 1e6
 
     def report(self) -> str:
+        self.finalize()
         return (f"frames={len(self.frame_times)} avg_fps={self.avg_fps:.3f} "
                 f"rays={self.rays_traced} mrays/s={self.mrays_per_sec:.2f}")
