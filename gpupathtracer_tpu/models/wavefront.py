@@ -56,8 +56,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        sort_rays: bool = False,
                        delta: bool = False,
                        compaction: bool = True,
-                       compaction_divs: tuple = (8, 64),
-                       compaction_min: int = 4096):
+                       compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
+                       compaction_min: int = 2048):
     """Trace one sample for each pixel lane.
 
     Args:

@@ -46,7 +46,7 @@ LANES = 128
 
 def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             rows_ref,
-            t_out, prim_out, u_out, v_out,
+            t_out, prim_out, u_out, v_out, stats_out,
             stack, sp_ref, rowbuf, sem,
             *, stack_depth: int, leaf_size: int, any_hit: bool,
             table_in_vmem: bool):
@@ -64,6 +64,10 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     v_out[...] = jnp.zeros((G, LANES), jnp.float32)
 
     stack[0] = 0  # root node
+    if stats_out is not None:
+        ctr_ref = stats_out[1]
+        ctr_ref[0] = 0  # node pops
+        ctr_ref[1] = 0  # leaf pops
     any_active = jnp.sum(act_ref[...].astype(jnp.int32)) > 0
 
     def fetch(slot, ridx):
@@ -94,6 +98,29 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
         rays_on = act & (prim_out[...] < 0) if any_hit else act
 
         sp_ref[0] = sp
+        if stats_out is not None:
+            which = jnp.where(is_leaf, 1, 0)
+            ctr_ref[which] = ctr_ref[which] + 1
+
+        # Field values broadcast vector-side as [G, 1] slices of the
+        # sublane-replicated row: lane extracts to the scalar unit cost ~10x
+        # more than in-vector broadcasts, and the values are only ever used
+        # vector-side. (Mosaic can't broadcast [1,1]->[G,128] in one op —
+        # "Broadcast in both sublanes and lanes" — so replicate sublanes
+        # once per pop, then every field is a lane-only broadcast. The
+        # replication uses pltpu.repeat, which XLA can't fold back into a
+        # [1,1] broadcast the way it does with jnp.broadcast_to+slice.)
+        if G > 1:
+            rowG = pltpu.repeat(row, G, axis=0)
+            rowGi = pltpu.repeat(row_i, G, axis=0)
+        else:
+            rowG, rowGi = row, row_i
+
+        def bv(l):
+            return rowG[:, l:l + 1]
+
+        def bvi(l):
+            return rowGi[:, l:l + 1]
 
         # ---- node phase --------------------------------------------------
         @pl.when(jnp.logical_not(is_leaf))
@@ -102,15 +129,17 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             inv = inv_ref[...]
             t_cur = t_out[...]
             on = rays_on
+            # o*inv is child-independent: hoisted out of the 8-child loop.
+            oi = [o[a] * inv[a] for a in range(3)]
             hits = []
             for j in range(8):
                 tmin = None
                 tmax_ = None
                 for a in range(3):
-                    lo = row[0, j * 6 + a]
-                    hi = row[0, j * 6 + 3 + a]
-                    t0 = (lo - o[a]) * inv[a]
-                    t1 = (hi - o[a]) * inv[a]
+                    lo = bv(j * 6 + a)
+                    hi = bv(j * 6 + 3 + a)
+                    t0 = lo * inv[a] - oi[a]
+                    t1 = hi * inv[a] - oi[a]
                     lo_t = jnp.minimum(t0, t1)
                     hi_t = jnp.maximum(t0, t1)
                     tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
@@ -148,10 +177,10 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             v_c = v_out[...]
             for k in range(leaf_size):
                 b = k * 12
-                p0 = [row[0, b + a] for a in range(3)]
-                e1 = [row[0, b + 3 + a] for a in range(3)]
-                e2 = [row[0, b + 6 + a] for a in range(3)]
-                pid = row_i[0, b + 9]
+                p0 = [bv(b + a) for a in range(3)]
+                e1 = [bv(b + 3 + a) for a in range(3)]
+                e2 = [bv(b + 6 + a) for a in range(3)]
+                pid = bvi(b + 9)
                 # Moller-Trumbore: scalar triangle vs [G, 128] rays.
                 px = d[1] * e2[2] - d[2] * e2[1]
                 py = d[2] * e2[0] - d[0] * e2[2]
@@ -188,16 +217,25 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 
     sp0 = jnp.where(any_active, 1, 0)
     jax.lax.while_loop(lambda c: c[0] > 0, body, (sp0, jnp.int32(0)))
+    if stats_out is not None:
+        # Publish the SMEM counters as lanes 0/1 of a [1, 128] VMEM row.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
+                             + jnp.where(lane == 1, ctr_ref[1], 0))
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
-                                             "any_hit", "interpret"))
+                                             "any_hit", "interpret",
+                                             "with_stats"))
 def traverse_pallas(rows, o, d, t_max, active,
                     stack_depth: int = 48, leaf_size: int = 4,
-                    any_hit: bool = False, interpret: bool = False):
+                    any_hit: bool = False, interpret: bool = False,
+                    with_stats: bool = False):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
-    Returns (t, prim, u, v) each [P, K]."""
+    Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
+    (node pops, leaf pops) per packet — the profiling counter behind the
+    PERF.md pop-cost model."""
     P, K, _ = o.shape
     if K % LANES != 0:
         raise ValueError(f"packet size K={K} must be a multiple of {LANES}")
@@ -220,21 +258,39 @@ def traverse_pallas(rows, o, d, t_max, active,
     def out_sds(dtype):
         return jax.ShapeDtypeStruct((P, G, LANES), dtype)
 
-    t, prim, u, v = pl.pallas_call(
-        lambda o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o, v_o, st, spr, rb, sm: kernel(
-            o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0], ac_r.at[0], rows_r,
-            t_o.at[0], p_o.at[0], u_o.at[0], v_o.at[0], st, spr, rb, sm),
+    out_specs = [lane_spec] * 4
+    out_shape = [out_sds(jnp.float32), out_sds(jnp.int32),
+                 out_sds(jnp.float32), out_sds(jnp.float32)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 1, LANES), lambda p: (p, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32))
+
+    def entry(o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o, v_o,
+              *rest):
+        if with_stats:
+            st_o, stack, spr, rb, sm, ctr = rest
+            st_view = (st_o.at[0], ctr)
+        else:
+            stack, spr, rb, sm = rest
+            st_view = None
+        kernel(o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0], ac_r.at[0],
+               rows_r, t_o.at[0], p_o.at[0], u_o.at[0], v_o.at[0], st_view,
+               stack, spr, rb, sm)
+
+    outs = pl.pallas_call(
+        entry,
         grid=grid,
         in_specs=[ray_spec, ray_spec, ray_spec, lane_spec, lane_spec,
                   pl.BlockSpec(memory_space=(pltpu.VMEM if table_in_vmem
                                              else pl.ANY))],
-        out_specs=[lane_spec] * 4,
-        out_shape=[out_sds(jnp.float32), out_sds(jnp.int32),
-                   out_sds(jnp.float32), out_sds(jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((2, LANES), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2,))]
+                   + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
         # The table blows the default 16 MB scoped-VMEM budget; size the
         # limit to table + double-buffered ray/output blocks + slack.
         compiler_params=pltpu.CompilerParams(
@@ -245,5 +301,9 @@ def traverse_pallas(rows, o, d, t_max, active,
         interpret=interpret,
     )(oT, dT, invT, t_max.reshape(P, G, LANES),
       active.reshape(P, G, LANES), rows)
-    return (t.reshape(P, K), prim.reshape(P, K),
-            u.reshape(P, K), v.reshape(P, K))
+    t, prim, u, v = outs[:4]
+    result = (t.reshape(P, K), prim.reshape(P, K),
+              u.reshape(P, K), v.reshape(P, K))
+    if with_stats:
+        return result + (outs[4][:, 0, 0:2],)
+    return result
