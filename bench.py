@@ -1,81 +1,143 @@
 #!/usr/bin/env python
-"""Headline benchmark: Mrays/s on the Sponza-class scene at 1080p, 1 spp
-NEE real-time config (BASELINE.md config 3; target >= 100 Mrays/s/chip).
+"""Headline benchmarks (BASELINE.md targets).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+Prints ONE JSON line whose primary fields are the headline metric
+(Mrays/s on Sponza-class 1080p NEE real-time config, target >= 100), with
+the other headline targets and measurement spread in "extra":
 
-Runs on whatever the default JAX platform is (the real TPU chip under the
-driver). Ray counts come from the integrator's exact device-side counter
-(primary + bounce closest-hit rays + NEE shadow rays), the same accounting
-behind the reference's 40-80 Mrays/s GTX 980 estimate (BASELINE.md).
+  - bathroom_256spp_s: time-to-256spp on the Salle-de-Bain-class scene
+    (BASELINE.md: reference converges in ~60 s).
+  - realtime_direct_fps: 640x360 direct-integrator FPS (the reference's
+    45-FPS progressive claim is the trend target).
+
+Protocol (PERF.md): every number is the median of >= 3 back-to-back
+repeats; spread = (max-min)/median. Frames enqueue async and sync once per
+batch (a host sync costs ~33 ms through the tunnel).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import statistics
 import sys
 import time
+
+
+def _sponza_cfg(width, height, **kw):
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    kw.setdefault("integrator", "wavefront")
+    kw.setdefault("max_bounces", 64)
+    cfg = RenderConfig(
+        scene_path="proc:sponza", skybox="GENERATE COLOR BLACK",
+        width=width, height=height,
+        ray_chunk=1 << 21, cache_enabled=True, **kw)
+    cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0), yaw=math.pi / 2,
+                              pitch=-0.05, fov=math.radians(60),
+                              aspect=width / height)
+    return cfg
+
+
+def _timed_batches(r, n_frames, reps):
+    """reps batches of n_frames async + 1 sync; returns per-frame medians."""
+    per_frame = []
+    for _ in range(reps):
+        r.stats.frame_times.clear()
+        r.stats.rays_traced = 0
+        r.stats._pending.clear()
+        t0 = time.time()
+        for i in range(n_frames):
+            r.render_frame(sync=(i == n_frames - 1))
+        dt = time.time() - t0
+        r.stats.finalize()
+        per_frame.append((dt / n_frames, r.stats.rays_traced / n_frames))
+    times = [t for t, _ in per_frame]
+    rays = [ry for _, ry in per_frame]
+    med_t = statistics.median(times)
+    spread = (max(times) - min(times)) / med_t if med_t else 0.0
+    return med_t, statistics.median(rays), spread
 
 
 def main() -> None:
     import jax
 
+    from gpupathtracer_tpu.render import Renderer
     from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
 
-    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
-    from gpupathtracer_tpu.render import Renderer
-
     quick = "--quick" in sys.argv
+    extra = {}
 
+    # --- headline: Sponza-class 1080p NEE real-time (config 3) ------------
     width, height = (640, 360) if quick else (1920, 1080)
-    cfg = RenderConfig(
-        scene_path="proc:sponza",
-        skybox="GENERATE COLOR BLACK",
-        width=width, height=height,
-        integrator="wavefront",
-        max_bounces=64,
-        ray_chunk=1 << 19,
-        cache_enabled=True,
-    )
-    # Camera inside the atrium looking down the colonnade.
-    cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0), yaw=math.pi / 2,
-                              pitch=-0.05, fov=math.radians(60),
-                              aspect=width / height)
-
     t0 = time.time()
-    r = Renderer(cfg)
+    r = Renderer(_sponza_cfg(width, height))
     build_s = time.time() - t0
     print(f"# scene: {r.meta.bvh_stats.report()} (total {build_s:.1f}s)",
           file=sys.stderr)
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
-    # Warmup / compile.
     t0 = time.time()
     r.render_frame(sync=True)
-    print(f"# first frame (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    first_s = time.time() - t0
+    print(f"# first frame (incl. compile): {first_s:.1f}s", file=sys.stderr)
 
-    # Timed frames: enqueue async, sync once on the last (total time is
-    # attributed across the batch; per-sync cost ~33 ms on the tunnel).
-    r.stats.frame_times.clear()
-    r.stats.rays_traced = 0
-    n_frames = 2 if quick else 8
-    for i in range(n_frames):
-        r.render_frame(sync=(i == n_frames - 1))
+    med_t, med_rays, spread = _timed_batches(r, n_frames=2 if quick else 3,
+                                             reps=3)
+    mrays = med_rays / med_t / 1e6
+    print(f"# sponza {width}x{height}: median frame {med_t:.3f}s "
+          f"(spread {spread:.1%}), {mrays:.2f} Mrays/s", file=sys.stderr)
+    extra["sponza"] = {"res": f"{width}x{height}",
+                       "median_frame_s": round(med_t, 4),
+                       "spread": round(spread, 4),
+                       "first_frame_s": round(first_s, 2)}
 
-    mrays = r.stats.mrays_per_sec
-    print(f"# {r.stats.report()}", file=sys.stderr)
-    print(f"# avg frame: {1.0 / max(r.stats.avg_fps, 1e-9):.3f}s "
-          f"({r.stats.avg_fps:.2f} fps @ {width}x{height} 1spp)",
-          file=sys.stderr)
+    # --- real-time demo: 640x360 direct integrator ------------------------
+    rt = Renderer(_sponza_cfg(640, 360, integrator="direct", max_bounces=1))
+    rt.render_frame(sync=True)
+    fps_meds = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(4):
+            rt.render_frame(sync=(i == 3))
+        fps_meds.append(4.0 / (time.time() - t0))
+    rt_fps = statistics.median(fps_meds)
+    print(f"# realtime direct 640x360: {rt_fps:.2f} fps", file=sys.stderr)
+    extra["realtime_direct_fps"] = round(rt_fps, 2)
+
+    # --- time-to-256spp on the Salle-de-Bain-class scene ------------------
+    if not quick:
+        from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        bw, bh = 640, 360
+        bcfg = RenderConfig(scene_path="proc:bathroom",
+                            skybox="GENERATE COLOR BLACK",
+                            width=bw, height=bh, integrator="wavefront",
+                            max_bounces=64, ray_chunk=1 << 21,
+                            cache_enabled=True)
+        pos, yaw, pitch, fov, aperture, focus = default_camera("proc:bathroom")
+        bcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                   fov=math.radians(fov), aspect=bw / bh,
+                                   aperture=aperture, focal_distance=focus)
+        rb = Renderer(bcfg)
+        rb.render_frame(sync=True)  # compile outside the timed region
+        rb.reset_samples()
+        spp = 256
+        t0 = time.time()
+        for i in range(spp):
+            rb.render_frame(sync=(i == spp - 1))
+        bath_s = time.time() - t0
+        print(f"# bathroom {bw}x{bh} {spp}spp: {bath_s:.1f}s "
+              f"(target < 60s)", file=sys.stderr)
+        extra["bathroom_256spp_s"] = round(bath_s, 1)
+        extra["bathroom_res"] = f"{bw}x{bh}"
 
     print(json.dumps({
         "metric": "mrays_per_sec_sponza_1080p",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "extra": extra,
     }))
 
 

@@ -48,22 +48,41 @@ class Renderer:
         self.pad_w, self.pad_h = _align8(cfg.width), _align8(cfg.height)
         n = self.pad_w * self.pad_h
 
+        # Multi-chip: samples/pixels sharded over a device mesh
+        # (parallel/mesh.py). One sharded frame accumulates
+        # `samples_axis_size` spp.
+        self.mesh = None
+        self.samples_per_frame = 1
+        pixels_axis = 1
+        if int(np.prod(cfg.mesh_shape)) > 1:
+            from gpupathtracer_tpu.parallel import make_device_mesh
+            self.mesh = make_device_mesh(cfg.mesh_shape)
+            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            pixels_axis = sizes.get("pixels", 1)
+            self.samples_per_frame = sizes.get("samples", 1)
+
         # Ray order: Morton/Hilbert within 8x8 blocks (Renderer.cpp:568-592).
+        # Films that don't divide the mesh's pixels axis are padded with
+        # sentinel rays whose contributions land in an extra film slot that
+        # present()/film_hdr() drop.
         fwd = ray_order(self.pad_w, self.pad_h, cfg.pixel_order)
+        pad_rays = (-n) % pixels_axis
+        if pad_rays:
+            fwd = np.concatenate([fwd, np.full(pad_rays, n, fwd.dtype)])
         self._ray_to_pixel = jnp.asarray(fwd)
-        px = fwd % self.pad_w
-        py = fwd // self.pad_w
+        px = np.where(fwd < n, fwd % self.pad_w, 0)
+        py = np.where(fwd < n, fwd // self.pad_w, 0)
         self.pixel_x = jnp.asarray(px.astype(np.float32))
         self.pixel_y = jnp.asarray(py.astype(np.float32))
+        self.n_rays = n + pad_rays
 
-        # Fewest equal chunks <= ray_chunk that tile the film exactly: every
-        # chunk is one jit dispatch (~3.5 ms fixed on this platform), so
-        # chunk count — not chunk alignment — is what matters.
-        n_chunks = max(-(-n // min(cfg.ray_chunk, n)), 1)
-        while n % n_chunks:
+        # Fewest equal chunks <= ray_chunk that tile the ray space exactly:
+        # every chunk is one jit dispatch (~0.15 ms fixed on this platform),
+        # so chunk count — not chunk alignment — is what matters.
+        n_chunks = max(-(-self.n_rays // min(cfg.ray_chunk, self.n_rays)), 1)
+        while self.n_rays % n_chunks:
             n_chunks += 1
-        self.chunk = n // n_chunks
-        self.n_rays = n
+        self.chunk = self.n_rays // n_chunks
 
         # Resolve traversal once against the active backend; the Pallas
         # kernel uses its own (bigger) packet size.
@@ -73,25 +92,11 @@ class Renderer:
                             if self.traversal == "pallas"
                             else cfg.packet_size)
 
-        self.accum = jnp.zeros((n, 3), jnp.float32)
+        self.accum = jnp.zeros((self.n_rays, 3), jnp.float32)
         self.num_samples = 0
         self.base_key = jax.random.PRNGKey(cfg.seed)
         self.camera: CameraParams = generate_image_plane(cfg.camera)
         self.stats = FrameStats()
-
-        # Multi-chip: samples/pixels sharded over a device mesh
-        # (parallel/mesh.py). One sharded frame accumulates
-        # `samples_axis_size` spp.
-        self.mesh = None
-        self.samples_per_frame = 1
-        if int(np.prod(cfg.mesh_shape)) > 1:
-            from gpupathtracer_tpu.parallel import make_device_mesh
-            self.mesh = make_device_mesh(cfg.mesh_shape)
-            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-            if self.n_rays % sizes.get("pixels", 1):
-                raise ValueError(f"film rays {self.n_rays} not divisible by "
-                                 f"pixels axis {sizes.get('pixels')}")
-            self.samples_per_frame = sizes.get("samples", 1)
 
     # -- frame loop ---------------------------------------------------------
 
@@ -200,20 +205,23 @@ class Renderer:
 
     # -- output ---------------------------------------------------------------
 
+    def _unpermute(self):
+        """Accumulator (ray order) -> film pixel order; the +1 slot absorbs
+        sentinel padding rays from non-dividing mesh pixel axes."""
+        flat = jnp.zeros((self.pad_h * self.pad_w + 1, 3), jnp.float32)
+        flat = flat.at[self._ray_to_pixel].set(self.accum)
+        return flat[:self.pad_h * self.pad_w]
+
     def film_hdr(self) -> np.ndarray:
         """Mean radiance per pixel, [H, W, 3] float32 (pre-tonemap)."""
-        flat = jnp.zeros((self.pad_h * self.pad_w, 3), jnp.float32)
-        flat = flat.at[self._ray_to_pixel].set(self.accum)
-        img = np.asarray(flat).reshape(self.pad_h, self.pad_w, 3)
+        img = np.asarray(self._unpermute()).reshape(self.pad_h, self.pad_w, 3)
         img = img[:self.height, :self.width]
         return img / max(self.num_samples, 1)
 
     def present(self) -> np.ndarray:
         """Tonemapped LDR frame [H, W, 3] in [0, 1] (Present.frag role).
         Row 0 is the bottom scanline (GL convention); save with flip_y=True."""
-        flat = jnp.zeros((self.pad_h * self.pad_w, 3), jnp.float32)
-        flat = flat.at[self._ray_to_pixel].set(self.accum)
-        img = present_op(flat.reshape(self.pad_h, self.pad_w, 3),
+        img = present_op(self._unpermute().reshape(self.pad_h, self.pad_w, 3),
                          max(self.num_samples, 1),
                          exposure=self.cfg.exposure,
                          tonemap=self.cfg.tonemap)

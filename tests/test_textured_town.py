@@ -1,0 +1,82 @@
+"""Scale-realistic textured OBJ ingest: generated ~55k-tri multi-material
+town through loader -> atlas -> wavefront (role of the reference's textured
+OBJ workflow, src/core/Scene.cpp:120-231 + Material.glsl:43-44)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+from gpupathtracer_tpu.scene.samplegen import generate_textured_town
+from gpupathtracer_tpu.scene.scenedata import load_scene
+
+
+@pytest.fixture(scope="module")
+def town(tmp_path_factory):
+    out = tmp_path_factory.mktemp("town")
+    path = generate_textured_town(str(out))
+    cfg = RenderConfig(scene_path=path, skybox="GENERATE COLOR BLACK",
+                       cache_enabled=False)
+    scene, meta = load_scene(cfg)
+    return cfg, scene, meta
+
+
+def test_town_scale_and_materials(town):
+    _, scene, meta = town
+    assert meta.num_triangles >= 50_000
+    assert meta.has_textures
+    assert meta.num_materials >= 6
+    # 4 distinct textures resolved to distinct atlas slots
+    slots = np.asarray(scene.mat_albedo_tex)
+    assert len({int(s) for s in slots if s >= 0}) >= 4
+    assert meta.num_lights > 0  # the lamp quad made it into the emitter CDF
+
+
+def test_town_per_material_texturing(town):
+    """Adjacent checker cells on the ground must sample different albedo —
+    the end-to-end proof that UV -> atlas-rect -> texel mapping is right
+    for a loaded OBJ (not just the synthetic atlas unit tests)."""
+    _, scene, meta = town
+    from gpupathtracer_tpu.models.materials import make_material_instance
+    from gpupathtracer_tpu.ops.traverse import trace_closest
+
+    # Two downward rays at the centers of ADJACENT checker cells, in the
+    # empty town corner (no house/tree/sphere above; x > z keeps them off
+    # the quad's diagonal seam where strict MT misses). Ground UV spans 8
+    # tiled repeats of an 8-cell checker over [-40, 40]: one cell is 1.25
+    # world units, centers at x = -40 + 1.25 * (k + 0.5).
+    xs = jnp.asarray([-38.125, -36.875], jnp.float32)
+    o = jnp.stack([xs, jnp.full((2,), 5.0), jnp.full((2,), -39.0)], axis=-1)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (2, 1))
+    hit = trace_closest(scene, o, d, jnp.full((2,), 100.0, jnp.float32),
+                        jnp.ones((2,), bool), stack_depth=meta.stack_depth,
+                        leaf_size=meta.leaf_size, traversal="perray")
+    assert (np.asarray(hit.prim) >= 0).all()
+    prim = jnp.maximum(hit.prim, 0)
+    uvs = scene.tri_uv[prim]
+    wgt = 1.0 - hit.u - hit.v
+    uv = (uvs[:, 1] * hit.u[..., None] + uvs[:, 2] * hit.v[..., None]
+          + uvs[:, 0] * wgt[..., None])
+    mat_id = scene.tri_mat[prim]
+    mat = make_material_instance(scene, mat_id, uv, textured=True)
+    albedo = np.asarray(mat.albedo)
+    # One ray lands on a light cell, the other on a dark cell.
+    bright = albedo.mean(axis=-1)
+    assert abs(bright[0] - bright[1]) > 0.3, albedo
+
+
+def test_town_renders(town):
+    cfg, scene, meta = town
+    from gpupathtracer_tpu.render import Renderer
+    cfg.width = cfg.height = 64
+    cfg.ray_chunk = 64 * 64
+    cfg.camera = CameraConfig(position=(0.0, 9.0, -26.0), yaw=math.pi,
+                              pitch=-0.28, fov=math.radians(55), aspect=1.0)
+    r = Renderer(cfg, scene=scene, meta=meta)
+    for _ in range(2):
+        r.render_frame()
+    img = r.film_hdr()
+    assert not np.isnan(img).any()
+    assert img.mean() > 1e-4  # lamp-lit
