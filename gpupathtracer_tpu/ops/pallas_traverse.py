@@ -49,7 +49,7 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             t_out, prim_out, u_out, v_out, stats_out,
             stack, sp_ref, rowbuf, sem,
             *, stack_depth: int, leaf_size: int, any_hit: bool,
-            table_in_vmem: bool):
+            table_in_vmem: bool, ordered: bool):
     """One packet per grid step.
 
     o/d/inv: [3, G, 128] VMEM; tmax/act: [G, 128]; rows_ref: [M, 128]
@@ -132,6 +132,7 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             # o*inv is child-independent: hoisted out of the 8-child loop.
             oi = [o[a] * inv[a] for a in range(3)]
             hits = []
+            tmins = []
             for j in range(8):
                 tmin = None
                 tmax_ = None
@@ -146,24 +147,62 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     tmax_ = hi_t if tmax_ is None else jnp.minimum(tmax_, hi_t)
                 hits.append((tmin <= tmax_) & (tmax_ > 0.0)
                             & (tmin < t_cur) & on)
-            # ONE vector->scalar sync: 8-bit packed any-hit mask. (Keep all
-            # intermediates rank >= 2 — rank-1 vectors crash Mosaic layout.)
-            h8 = jnp.stack(hits).astype(jnp.int32)          # [8, G, 128]
-            cnt = jnp.sum(jnp.sum(h8, axis=2), axis=1,
-                          keepdims=True)                    # [8, 1]
-            w = jnp.left_shift(1, jax.lax.broadcasted_iota(jnp.int32,
-                                                           (8, 1), 0))
-            bits = jnp.sum(jnp.where(cnt > 0, w, 0))        # scalar
-            # Scalar push loop (entries read straight from the int row view).
-            new_sp = sp
-            for j in range(8):
-                centry = row_i[0, 48 + j]
-                pushed = (jax.lax.shift_right_logical(bits, j) & 1 > 0) \
-                    & (centry != _INVALID)
-                idx = jnp.minimum(new_sp, stack_depth - 1)
-                stack[idx] = jnp.where(pushed, centry, stack[idx])
-                new_sp = new_sp + jnp.where(pushed, 1, 0)
-            sp_ref[0] = new_sp
+                tmins.append(tmin)
+            if not ordered:
+                # ONE vector->scalar sync: 8-bit packed any-hit mask. (Keep
+                # intermediates rank >= 2 — rank-1 vectors crash Mosaic.)
+                h8 = jnp.stack(hits).astype(jnp.int32)      # [8, G, 128]
+                cnt = jnp.sum(jnp.sum(h8, axis=2), axis=1,
+                              keepdims=True)                # [8, 1]
+                w = jnp.left_shift(1, jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 1), 0))
+                bits = jnp.sum(jnp.where(cnt > 0, w, 0))    # scalar
+                # Scalar push loop (entries from the int row view).
+                new_sp = sp
+                for j in range(8):
+                    centry = row_i[0, 48 + j]
+                    pushed = (jax.lax.shift_right_logical(bits, j) & 1 > 0) \
+                        & (centry != _INVALID)
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+            else:
+                # Near-first ordering: packet-min entry distance per child
+                # (inf when no ray hits), children pushed far-to-near so the
+                # nearest pops first — t_cur shrinks sooner and prunes more
+                # (role of the ordered descent in BVH.glsl:700-726).
+                h8 = jnp.stack(hits)                        # [8, G, 128]
+                t8 = jnp.stack(tmins)
+                keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                               axis=1, keepdims=True)       # [8, 1]
+                keys = [keyv[j, 0] for j in range(8)]       # 8 extracts
+                pairs = []
+                for j in range(8):
+                    centry = row_i[0, 48 + j]
+                    k = jnp.where(centry == _INVALID, jnp.inf, keys[j])
+                    pairs.append((k, centry))
+                # Batcher-style fixed network, DESCENDING by key (nearest
+                # pushed last = popped first). 19 compare-exchanges.
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                       (3, 4)]
+                for a, b in net:
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb  # descending
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+                new_sp = sp
+                for k, centry in pairs:
+                    pushed = k < jnp.inf
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
 
         # ---- leaf phase --------------------------------------------------
         @pl.when(is_leaf)
@@ -226,11 +265,11 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
-                                             "with_stats"))
+                                             "with_stats", "ordered"))
 def traverse_pallas(rows, o, d, t_max, active,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
-                    with_stats: bool = False):
+                    with_stats: bool = False, ordered: bool = True):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
@@ -248,7 +287,7 @@ def traverse_pallas(rows, o, d, t_max, active,
     table_in_vmem = rows.size * rows.dtype.itemsize <= VMEM_TABLE_LIMIT
     kernel = functools.partial(_kernel, stack_depth=stack_depth,
                                leaf_size=leaf_size, any_hit=any_hit,
-                               table_in_vmem=table_in_vmem)
+                               table_in_vmem=table_in_vmem, ordered=ordered)
     grid = (P,)
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
