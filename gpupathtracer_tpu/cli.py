@@ -107,6 +107,11 @@ def main(argv=None) -> int:
                    help="save a resumable checkpoint here when done")
     p.add_argument("--resume", default=None,
                    help="resume a progressive render from this checkpoint")
+    p.add_argument("--interactive", action="store_true",
+                   help="live WASD camera loop in the terminal (ANSI "
+                        "half-block frames; Program.cpp:103-146 role)")
+    p.add_argument("--move-speed", type=float, default=1.0,
+                   help="interactive camera move step (world units)")
     p.add_argument("--orbit", type=int, default=0, metavar="N",
                    help="render N frames orbiting the camera around its "
                         "look-at point (the interactive-camera role); "
@@ -136,6 +141,13 @@ def main(argv=None) -> int:
 
     out = args.out or timestamped_name(
         os.path.splitext(os.path.basename(args.scene))[0].replace(":", "_"))
+
+    if args.interactive:
+        from gpupathtracer_tpu.render.viewer import run_viewer
+        run_viewer(r, move_speed=args.move_speed)
+        path = r.save_screenshot(out)
+        print(path)
+        return 0
 
     if args.orbit:
         # Turntable: rotate the camera position about the vertical axis

@@ -75,7 +75,7 @@ class RenderConfig:
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet
-    pallas_packet_size: int = 1024         # rays per Pallas kernel packet (mult of 128)
+    pallas_packet_size: int = 2048         # rays per Pallas kernel packet (mult of 128)
     bvh_builder: str = "auto"              # "auto" | "cpp" | "numpy"
     spatial_splits: bool = True            # SBVH spatial splits (C++ builder)
     use_float32: bool = True

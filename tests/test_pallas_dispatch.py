@@ -132,3 +132,21 @@ def test_force_leaf_tree_shape(rng):
     assert st_fat.avg_refs_per_leaf > 3.5
     assert st_fat.avg_refs_per_leaf > st_loose.avg_refs_per_leaf
     assert st_fat.num_leaves < st_loose.num_leaves
+
+
+def test_viewer_ansi_frame():
+    """Terminal presenter: two pixels per half-block cell, truecolor codes,
+    bottom-row-first flip (GL convention)."""
+    import numpy as np
+
+    from gpupathtracer_tpu.render.viewer import _ansi_frame
+
+    img = np.zeros((4, 2, 3), np.float32)
+    img[0] = [1.0, 0.0, 0.0]   # bottom scanline red
+    img[3] = [0.0, 1.0, 0.0]   # top scanline green
+    s = _ansi_frame(img)
+    lines = s.split("\n")
+    assert len(lines) == 2
+    assert "38;2;0;255;0" in lines[0]    # top drawn first (foreground)
+    assert "48;2;255;0;0" in lines[-1]   # bottom last (background)
+    assert lines[0].count("▀") == 2
