@@ -60,6 +60,7 @@ class RenderConfig:
     sun_direction: Tuple[float, float, float] = (2.0, 69.0, 12.0)   # Renderer.cpp:23
     sun_angle: float = math.radians(5.0)                            # Renderer.cpp:24
     sun_emission: Tuple[float, float, float] = (120.0, 110.0, 95.0)
+    sun_mode: str = "disk"                 # "disk" (reference hack) | "cone" (solid angle)
     # Sampler -------------------------------------------------------------
     seed: int = 0
     # Performance ---------------------------------------------------------

@@ -33,14 +33,21 @@ def make_material_instance(scene, mat_id, uv=None,
     """
     albedo = scene.mat_albedo[mat_id]
     g = scene.mat_rough_g[mat_id]
+    metallic = scene.mat_metallic[mat_id]
     if textured and uv is not None:
         from gpupathtracer_tpu.ops.texture import sample_atlas
         tex = scene.mat_albedo_tex[mat_id]
         albedo = jnp.where((tex >= 0)[:, None],
                            sample_atlas(scene.atlas_image, scene.atlas_rects,
                                         tex, uv), albedo)
+        # Metallic-roughness map (glTF convention: G = roughness factor,
+        # B = metallic factor; both multiply the material constants).
+        mr = scene.mat_mr_tex[mat_id]
+        mr_rgb = sample_atlas(scene.atlas_image, scene.atlas_rects, mr, uv)
+        has_mr = mr >= 0
+        g = jnp.where(has_mr, g * mr_rgb[:, 1], g)
+        metallic = jnp.where(has_mr, metallic * mr_rgb[:, 2], metallic)
     roughness = jnp.maximum(g * g, 1e-4)
-    metallic = scene.mat_metallic[mat_id]
     reflectance = (0.04 * (1.0 - metallic[..., None])
                    + albedo * metallic[..., None])
     return MaterialInstance(

@@ -62,16 +62,40 @@ def sample_sun_vertex(scene, vertex_pos, u_disk):
     return pos, jnp.broadcast_to(n, vertex_pos.shape)
 
 
+def sample_sun_cone(scene, shape, u):
+    """Uniform direction in the sun's solid-angle cone (half-angle =
+    sun_angle). The principled replacement for the reference's unit-distance
+    disk, which it calls "very hacky" (Iterative.comp:84-88): the disk's
+    area pdf only approximates the cone's solid-angle measure for small
+    angles and breaks MIS weights for large suns.
+
+    Returns (direction toward the sun [..., 3], solid-angle pdf scalar)."""
+    from gpupathtracer_tpu.math.vecmath import construct_tbn, normalize
+    cos_t = 1.0 - u[..., 0] * (1.0 - scene.sun_max_dot)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    axis = jnp.broadcast_to(normalize(scene.sun_dir), shape)
+    t, b, n = construct_tbn(axis)
+    direction = (t * (sin_t * jnp.cos(phi))[..., None]
+                 + b * (sin_t * jnp.sin(phi))[..., None]
+                 + n * cos_t[..., None])
+    pdf = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - scene.sun_max_dot, 1e-12))
+    return direction, pdf
+
+
 def generate_light_sample(scene, vertex_pos, vertex_normal,
                           mat: MaterialInstance, inter: SurfaceInteraction,
                           throughput, u_select, u_tri,
                           model: str = "trowbridge_reitz",
                           sun: bool = False,
+                          sun_mode: str = "disk",
                           u_pick=None) -> LightSample:
     """GenerateLightSample (Iterative.comp:113-147). With `sun` (the
     reference's SUN_LIGHT branch, compiled out there by default): 50/50
-    pick between the emitter CDF and the sun disk, pdfs 0.5/totalLightArea
-    and 0.5/sunArea (Iterative.comp:116-126)."""
+    pick between the emitter CDF and the sun, pdfs 0.5/totalLightArea and
+    0.5/sunArea (Iterative.comp:116-126). sun_mode="disk" replicates the
+    reference's unit-distance disk; "cone" samples the true solid angle
+    (see sample_sun_cone)."""
     light_pos, light_n, light_mat = sample_light_vertex(scene, u_select, u_tri)
     emission = scene.mat_emission[light_mat]
     delta = light_pos - vertex_pos
@@ -79,7 +103,25 @@ def generate_light_sample(scene, vertex_pos, vertex_normal,
     light_pdf = 1.0 / scene.total_light_area  # inf when no emitters -> NEE = 0
     shadow_tmax = radius - 0.005
 
-    if sun:
+    if sun and sun_mode == "cone":
+        sun_dir, sun_pdf = sample_sun_cone(scene, vertex_pos.shape, u_tri)
+        pick_area = u_pick > 0.5
+        # Pseudo light vertex one unit away, facing back: radius = 1 and
+        # cos_light = 1, so the area-measure factors below reduce to the
+        # solid-angle estimator for the sun lanes.
+        light_pos = jnp.where(pick_area[..., None], light_pos,
+                              vertex_pos + sun_dir)
+        light_n = jnp.where(pick_area[..., None], light_n, -sun_dir)
+        emission = jnp.where(pick_area[..., None], emission,
+                             scene.sun_emission[None, :])
+        delta = light_pos - vertex_pos
+        radius = jnp.where(pick_area,
+                           jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20)),
+                           1.0)
+        light_pdf = jnp.where(pick_area, 0.5 / scene.total_light_area,
+                              0.5 * sun_pdf)
+        shadow_tmax = jnp.where(pick_area, radius - 0.005, 1e20)
+    elif sun:
         sun_pos, sun_n = sample_sun_vertex(scene, vertex_pos, u_tri)
         sun_area = jnp.pi * scene.sun_radius * scene.sun_radius
         pick_area = u_pick > 0.5  # Iterative.comp:117-118

@@ -53,6 +53,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        packet_size: int = 128,
                        textured: bool = False,
                        sun: bool = False,
+                       sun_mode: str = "disk",
                        sort_rays: bool = False,
                        delta: bool = False,
                        compaction: bool = True,
@@ -194,7 +195,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             rays = rays + jnp.sum(alive, dtype=jnp.int32)
             ls = generate_light_sample(scene, pos, normal, mat, inter,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
-                                       model, sun=sun, u_pick=rnd[:, 7])
+                                       model, sun=sun, sun_mode=sun_mode,
+                                       u_pick=rnd[:, 7])
             occluded = trace_occluded(scene, ls.shadow_origin, ls.shadow_dir,
                                       ls.shadow_tmax, alive,
                                       stack_depth=stack_depth,
@@ -309,6 +311,6 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "packet_size", "textured", "sun",
+    "nee", "traversal", "packet_size", "textured", "sun", "sun_mode",
     "sort_rays", "delta", "compaction", "compaction_divs",
     "compaction_min"))(render_sample_impl)

@@ -158,7 +158,7 @@ class Renderer:
             traversal=self.traversal,
             packet_size=min(self.packet_size, self.chunk),
             textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
-            nee=self.cfg.nee_enabled,
+            sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
             delta=getattr(self.meta, "has_delta", False))
 
     def _render_chunk(self, integrator: str, sl: slice, key):
@@ -174,6 +174,7 @@ class Renderer:
                       packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,
                       sun=self.cfg.sun_enabled,
+                      sun_mode=self.cfg.sun_mode,
                       delta=getattr(self.meta, "has_delta", False))
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
@@ -187,12 +188,14 @@ class Renderer:
                                  nee=True, **kwargs)
         if integrator == "reference":
             kwargs.pop("delta", None)  # reference integrator: diffuse only
+            kwargs.pop("sun_mode", None)  # reference: sun-on-miss only
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
         if integrator == "ao":
             from gpupathtracer_tpu.models.ao import render_sample_ao
-            for k in ("max_bounces", "model", "textured", "sun", "delta"):
+            for k in ("max_bounces", "model", "textured", "sun", "delta",
+                      "sun_mode"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
                                     **kwargs)

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CACHE_VERSION = 7  # bump when array formats or builder behavior change
+CACHE_VERSION = 8  # bump when array formats or builder behavior change
 
 
 def _scene_fingerprint(cfg) -> str:
@@ -59,6 +59,7 @@ def save_scene_cache(cfg, soup, table, light_idx, light_cdf, total_area,
         m_albedo=table.albedo, m_rough=table.rough_g, m_metal=table.metallic,
         m_emission=table.emission, m_emissive=table.emissive,
         m_tex=table.albedo_tex, m_type=table.mtype, m_ior=table.ior,
+        m_mr_tex=table.mr_tex,
         light_idx=light_idx, light_cdf=light_cdf,
         total_area=np.float32(total_area),
         child_bounds=wide.child_bounds, child_entry=wide.child_entry,

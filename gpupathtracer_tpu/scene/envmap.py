@@ -106,6 +106,11 @@ def load_environment(spec: str, base_dir: str = ".") -> EnvMap:
     if spec.startswith("GENERATE"):
         parts = spec.split()
         if len(parts) >= 3 and parts[1] == "COLOR":
+            if len(parts) >= 5:
+                try:  # numeric "GENERATE COLOR r g b" (beyond the reference)
+                    return from_color(tuple(float(x) for x in parts[2:5]))
+                except ValueError:
+                    pass
             color = {"WHITE": (1.0, 1.0, 1.0), "BLACK": (0.0, 0.0, 0.0)}.get(
                 parts[2], (1.0, 0.0, 0.0))  # RED for error, like the reference
             return from_color(color)

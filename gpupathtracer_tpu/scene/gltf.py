@@ -136,6 +136,14 @@ def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
                 img = gltf["images"][src]
                 if "uri" in img and not img["uri"].startswith("data:"):
                     tex = img["uri"]
+        mr_tex = None
+        if "metallicRoughnessTexture" in pbr:
+            ti = pbr["metallicRoughnessTexture"]["index"]
+            src = gltf["textures"][ti].get("source")
+            if src is not None:
+                img = gltf["images"][src]
+                if "uri" in img and not img["uri"].startswith("data:"):
+                    mr_tex = img["uri"]
         emissive = m.get("emissiveFactor", [0, 0, 0])
         strength = (m.get("extensions", {})
                     .get("KHR_materials_emissive_strength", {})
@@ -152,6 +160,7 @@ def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
             name=m.get("name", ""),
             albedo=tuple(base[:3]),
             albedo_texture=tex,
+            mr_texture=mr_tex,
             roughness_g=float(pbr.get("roughnessFactor", 1.0)),
             metallic=float(pbr.get("metallicFactor", 1.0)),
             emission=tuple(float(e) * strength for e in emissive),

@@ -39,6 +39,7 @@ class MaterialDesc:
     name: str = ""
     albedo: Tuple[float, float, float] = (0.8, 0.8, 0.8)
     albedo_texture: Optional[str] = None        # image path; atlas-resolved later
+    mr_texture: Optional[str] = None            # metallic-roughness map (glTF: G=rough, B=metal)
     roughness_g: float = 1.0                    # stored "G channel" value
     metallic: float = 0.0
     emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -99,6 +100,7 @@ class MaterialTable(NamedTuple):
     albedo_tex: np.ndarray  # [M]    i32  atlas slot, -1 = constant color
     mtype: np.ndarray = None  # [M]  i32  MATERIAL_* enum
     ior: np.ndarray = None    # [M]  f32
+    mr_tex: np.ndarray = None  # [M]  i32  metallic-roughness atlas slot, -1 = constants
 
 
 def pack_materials(materials: List[MaterialDesc],
@@ -114,6 +116,7 @@ def pack_materials(materials: List[MaterialDesc],
         albedo_tex=np.full((m,), -1, np.int32),
         mtype=np.full((m,), MATERIAL_DIFFUSE_SPECULAR, np.int32),
         ior=np.full((m,), 1.5, np.float32),
+        mr_tex=np.full((m,), -1, np.int32),
     )
     for i, mat in enumerate(materials):
         table.albedo[i] = mat.albedo
@@ -125,4 +128,6 @@ def pack_materials(materials: List[MaterialDesc],
         table.ior[i] = mat.ior
         if atlas_slots and mat.albedo_texture in atlas_slots:
             table.albedo_tex[i] = atlas_slots[mat.albedo_texture]
+        if atlas_slots and mat.mr_texture in atlas_slots:
+            table.mr_tex[i] = atlas_slots[mat.mr_texture]
     return table

@@ -109,11 +109,12 @@ def _box(w, base, size, wall_mtl):
     d = (x, y, z + sz)
     A = (x, y + sy, z); B = (x + sx, y + sy, z)
     C = (x + sx, y + sy, z + sz); D = (x, y + sy, z + sz)
-    w.add_quad(wall_mtl, a, b, B, A)          # -z wall
-    w.add_quad(wall_mtl, c, d, D, C)          # +z wall
-    w.add_quad(wall_mtl, b, c, C, B)          # +x wall
-    w.add_quad(wall_mtl, d, a, A, D)          # -x wall
-    w.add_quad(wall_mtl, A, B, C, D)          # top (capped by roof usually)
+    # Corner order chosen so cross(p1-p0, p3-p0) points OUT of the box.
+    w.add_quad(wall_mtl, a, A, B, b)          # -z wall
+    w.add_quad(wall_mtl, c, C, D, d)          # +z wall
+    w.add_quad(wall_mtl, b, B, C, c)          # +x wall
+    w.add_quad(wall_mtl, d, D, A, a)          # -x wall
+    w.add_quad(wall_mtl, A, D, C, B)          # top (capped by roof usually)
 
 
 def _roof(w, base, size, mtl):
@@ -124,8 +125,8 @@ def _roof(w, base, size, mtl):
     r1 = (x + sx / 2, ridge_y, z + sz)
     A = (x, y, z); B = (x + sx, y, z)
     C = (x + sx, y, z + sz); D = (x, y, z + sz)
-    w.add_quad(mtl, A, r0, r1, D)
-    w.add_quad(mtl, r0, B, C, r1)
+    w.add_quad(mtl, A, D, r1, r0)   # -x slope, normal (-x, +y)
+    w.add_quad(mtl, r0, r1, C, B)   # +x slope, normal (+x, +y)
     n = (0.0, 0.0, -1.0)
     w.add_tri(mtl, [A, B, r0], [(0, 0), (1, 0), (0.5, 1)], n)
     w.add_tri(mtl, [D, r1, C], [(0, 0), (0.5, 1), (1, 0)], (0.0, 0.0, 1.0))
@@ -298,7 +299,8 @@ illum 3
 
     w = _ObjWriter()
     S = 40.0
-    w.add_quad("ground", (-S, 0, -S), (S, 0, -S), (S, 0, S), (-S, 0, S),
+    # Corner order makes the normal face +y (cross(p1-p0, p3-p0) up).
+    w.add_quad("ground", (-S, 0, -S), (-S, 0, S), (S, 0, S), (S, 0, -S),
                uv_scale=8.0)
 
     rng = np.random.RandomState(3)

@@ -46,6 +46,7 @@ class SceneData(NamedTuple):
     atlas_image: jnp.ndarray   # [AH, AW, 3] f32
     atlas_rects: jnp.ndarray   # [S, 4] i32 (x, y, w, h)
     mat_albedo_tex: jnp.ndarray  # [M] i32 atlas slot, -1 = constant albedo
+    mat_mr_tex: jnp.ndarray      # [M] i32 metallic-roughness slot (glTF G=rough, B=metal)
     # Sun disk (Renderer.cpp:23-26; SUN_LIGHT NEE branch Iterative.comp:84-126)
     sun_dir: jnp.ndarray       # [3] unit, pointing *from* scene *to* sun
     sun_emission: jnp.ndarray  # [3]
@@ -115,7 +116,8 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
 
 def _build_atlas_for(materials, base_dir):
     from gpupathtracer_tpu.scene.textures import build_atlas
-    paths = sorted({m.albedo_texture for m in materials if m.albedo_texture})
+    paths = sorted({m.albedo_texture for m in materials if m.albedo_texture}
+                   | {m.mr_texture for m in materials if m.mr_texture})
     return build_atlas(paths, base_dir)
 
 
@@ -149,6 +151,8 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         atlas_image=jnp.asarray(atlas_img),
         atlas_rects=jnp.asarray(atlas_rects),
         mat_albedo_tex=jnp.asarray(table.albedo_tex),
+        mat_mr_tex=jnp.asarray(table.mr_tex if table.mr_tex is not None
+                               else np.full_like(table.albedo_tex, -1)),
         sun_dir=jnp.asarray(np.asarray(cfg.sun_direction, np.float32)
                             / max(np.linalg.norm(cfg.sun_direction), 1e-9)),
         sun_emission=jnp.asarray(np.asarray(cfg.sun_emission, np.float32)),
@@ -168,7 +172,9 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         num_lights=int(idx.size if total_area > 0 else 0),
         stack_depth=stack_depth,
         leaf_size=cfg.leaf_size,
-        has_textures=bool((table.albedo_tex >= 0).any()),
+        has_textures=bool((table.albedo_tex >= 0).any()
+                          or (table.mr_tex is not None
+                              and (table.mr_tex >= 0).any())),
         has_delta=bool((table.mtype != 1).any()),
         bvh_stats=stats,
         name=name,
@@ -202,7 +208,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
                               emissive=cached["m_emissive"],
                               albedo_tex=cached["m_tex"],
                               mtype=cached["m_type"],
-                              ior=cached["m_ior"])
+                              ior=cached["m_ior"],
+                              mr_tex=cached.get("m_mr_tex"))
         wide = _Wide(child_bounds=cached["child_bounds"],
                      child_entry=cached["child_entry"], refs=cached["refs"])
         st = cached["stats"]

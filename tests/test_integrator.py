@@ -252,3 +252,31 @@ def test_glass_furnace():
     # Slight downward bias from the 24-bounce cap truncating total-internal-
     # reflection chains (RR never kills albedo-1 paths).
     assert 0.80 < img.mean() < 1.1, img.mean()
+
+
+def test_sun_cone_matches_disk():
+    """Solid-angle sun sampling (sun_mode="cone") must agree with the
+    reference's disk hack at a small angular radius (5 deg), where the
+    disk's area measure approximates the cone's solid angle well."""
+    import dataclasses
+
+    def run(mode):
+        cfg = RenderConfig(scene_path="proc:bunny",
+                           skybox="GENERATE COLOR BLACK",
+                           width=24, height=24, ray_chunk=24 * 24,
+                           sun_enabled=True, sun_mode=mode, max_bounces=8,
+                           seed=5)
+        cfg.camera = CameraConfig(position=(0.0, 4.0, -12.0), yaw=math.pi,
+                                  pitch=-0.25, fov=math.radians(45),
+                                  aspect=1.0)
+        r = Renderer(cfg)
+        for _ in range(16):
+            r.render_frame("wavefront")
+        return r.film_hdr()
+
+    img_disk = run("disk")
+    img_cone = run("cone")
+    assert np.isfinite(img_cone).all()
+    assert img_cone.max() > 0.05
+    md, mc = img_disk.mean(), img_cone.mean()
+    assert abs(md - mc) / (md + 1e-9) < 0.15, (md, mc)

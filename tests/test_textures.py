@@ -83,3 +83,48 @@ def test_textured_render_end_to_end(tmp_path):
     # floor region (texture visible), unlike a constant-albedo floor.
     floor = img[4:28, 4:28, 0]
     assert floor.std() > 0.05, floor.std()
+
+
+def test_metallic_roughness_map(tmp_path):
+    """glTF-convention metallic-roughness map (G=roughness, B=metallic)
+    multiplies the material constants; verified through the full
+    pack_scene -> make_material_instance path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpupathtracer_tpu.config import RenderConfig
+    from gpupathtracer_tpu.models.materials import make_material_instance
+    from gpupathtracer_tpu.scene.materials import MaterialDesc, env_material
+    from gpupathtracer_tpu.scene.mesh import MeshData, build_triangle_soup
+    from gpupathtracer_tpu.scene.scenedata import pack_scene
+    from gpupathtracer_tpu.scene.envmap import from_color
+    from gpupathtracer_tpu.utils.io import save_png
+
+    # MR map: left half (u<0.5) rough+dielectric, right half smooth+metal.
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4, 1] = 1.0   # G: roughness 1
+    img[:, 4:, 2] = 1.0   # B: metallic 1
+    mr_path = str(tmp_path / "mr.png")
+    save_png(mr_path, img, flip_y=False)
+
+    quad = MeshData(
+        positions=np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                             np.float32),
+        normals=np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1)),
+        uvs=np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        mat_ids=np.ones((4,), np.int32),
+        triangles=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32))
+    mats = [env_material(),
+            MaterialDesc(name="mr", roughness_g=1.0, metallic=1.0,
+                         mr_texture=mr_path)]
+    soup = build_triangle_soup(quad)
+    scene, meta = pack_scene(soup, mats, from_color((0, 0, 0)),
+                             RenderConfig())
+    assert meta.has_textures
+    mat_id = jnp.asarray([1, 1], jnp.int32)
+    uv = jnp.asarray([[0.25, 0.5], [0.80, 0.5]], jnp.float32)
+    inst = make_material_instance(scene, mat_id, uv, textured=True)
+    rough = np.asarray(inst.roughness)
+    metal = np.asarray(inst.metallic)
+    assert rough[0] > 0.9 and metal[0] < 0.1   # left: rough dielectric
+    assert rough[1] < 0.01 and metal[1] > 0.9  # right: smooth metal
