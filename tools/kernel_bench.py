@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Traversal-kernel microbench — same-session A/B harness.
+
+All PERF.md kernel numbers come from here. Protocol (PERF.md): throughput is
+non-stationary across sessions, so only same-session comparisons are valid;
+every number is the median of --reps back-to-back runs, reported net of the
+~33 ms tunnel readback (measured per-run via an empty sync).
+
+Ray sets:
+  coherent    Morton-tiled camera primaries on the scene's default view.
+  incoherent  random-direction rays from the primaries' hit points,
+              randomly permuted (the diffuse-bounce worst case).
+
+Usage:
+  python tools/kernel_bench.py --scene proc:sponza --k 2048 --reps 5
+  python tools/kernel_bench.py --ordered 0 --stats   # A/B + pop counters
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _median_net(fn, out_probe, reps, inner=4):
+    """Median per-call seconds of fn(), net of one host-readback latency.
+
+    Each rep enqueues `inner` launches and syncs once (the device queue
+    serializes them), so the ~33 ms tunnel readback is amortized and then
+    subtracted — kernels faster than one readback still measure positive.
+    """
+    # Measure the readback cost itself: sync on an already-computed array
+    # (warm once first so the .sum() compile isn't counted).
+    probe = out_probe()
+    float(probe.sum())
+    t0 = time.time()
+    for _ in range(3):
+        float(probe.sum())
+    readback = (time.time() - t0) / 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(inner):
+            r = fn()
+        float(r.sum())          # force completion (block_until_ready lies)
+        times.append((time.time() - t0 - readback) / inner)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med > 0 else 0.0
+    return med, spread
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="proc:sponza")
+    ap.add_argument("--n", type=int, default=1 << 19)
+    ap.add_argument("--k", default="2048",
+                    help="packet size, or comma-separated list to sweep")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--ordered", type=int, default=1)
+    ap.add_argument("--stats", action="store_true",
+                    help="also report pop counters (slower variant)")
+    ap.add_argument("--sets", default="coherent,incoherent")
+    ap.add_argument("--any-hit", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.math.camera import gen_rays, generate_image_plane
+    from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
+    from gpupathtracer_tpu.scene import load_scene
+    from gpupathtracer_tpu.scene.procedural import default_camera
+    from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
+    from gpupathtracer_tpu.utils.morton import ray_order
+
+    enable_compile_cache()
+    N = args.n
+    k_list = [int(s) for s in str(args.k).split(",")]
+
+    cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
+                       width=64, height=64, cache_enabled=True)
+    scene, meta = load_scene(cfg)
+    rows = scene.bvh.node_rows
+    print(f"# {args.scene}: rows={rows.shape} "
+          f"({rows.size * rows.dtype.itemsize / 1e6:.1f} MB) "
+          f"stack={meta.stack_depth} leaf={meta.leaf_size} "
+          f"K={k_list} N={N} ordered={args.ordered}", file=sys.stderr)
+
+    # Coherent set: Morton-tiled primaries at a resolution covering N rays.
+    w = 1 << math.ceil(math.log2(math.sqrt(N * 16 / 9)))
+    h = N // w
+    pos, yaw, pitch, fov, aperture, focus = default_camera(args.scene)
+    ccfg = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                        fov=math.radians(fov), aspect=w / h)
+    cam = generate_image_plane(ccfg)
+    order = ray_order(w, h, "morton")[:N]
+    px = (order % w).astype(np.float32)
+    py = (order // w).astype(np.float32)
+    interp = jnp.stack([jnp.asarray(px) / w, jnp.asarray(py) / h], axis=-1)
+    lens_u = jnp.full((N, 2), 0.5, jnp.float32)
+    o_coh, d_coh = gen_rays(cam, interp, lens_u)
+
+    def run(o, d, K, with_stats=False):
+        P = N // K
+        return traverse_pallas(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+                               jnp.full((P, K), 1e20, jnp.float32),
+                               jnp.ones((P, K), bool),
+                               stack_depth=meta.stack_depth,
+                               leaf_size=meta.leaf_size,
+                               any_hit=args.any_hit,
+                               ordered=bool(args.ordered),
+                               with_stats=with_stats)
+
+    # Incoherent set: random dirs from the coherent hit points, permuted.
+    t, prim, _, _ = run(o_coh, d_coh, k_list[0])
+    t = t.reshape(N)
+    hitp = jnp.where((prim.reshape(N) >= 0)[:, None],
+                     o_coh + d_coh * (t[:, None] * 0.999), o_coh)
+    rng = np.random.RandomState(11)
+    dirs = rng.normal(size=(N, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    perm = rng.permutation(N)
+    o_inc = jnp.asarray(np.asarray(hitp)[perm])
+    d_inc = jnp.asarray(dirs)
+
+    rays = {"coherent": (o_coh, d_coh), "incoherent": (o_inc, d_inc)}
+    out = {}
+    for K in k_list:
+        for name in args.sets.split(","):
+            o, d = rays[name]
+            f = lambda o=o, d=d, K=K: run(o, d, K)[0]
+            f()  # compile outside the timed region
+            med, spread = _median_net(
+                f, lambda K=K: run(o_coh, d_coh, K)[0], args.reps)
+            mrays = N / med / 1e6
+            line = (f"K={K} {name}: {mrays:.2f} Mrays/s "
+                    f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
+            if args.stats:
+                st = np.asarray(run(o, d, K, with_stats=True)[4])
+                tot = st.sum(0)
+                line += (f" | pops/packet node p50={np.median(st[:, 0]):.0f}"
+                         f" leaf p50={np.median(st[:, 1]):.0f};"
+                         f" ns/pop={med * 1e9 / max(tot.sum(), 1):.0f}")
+            print(line, flush=True)
+            out[f"{name}@{K}"] = round(mrays, 2)
+    print(f"# summary {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
