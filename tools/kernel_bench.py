@@ -67,6 +67,10 @@ def main() -> None:
                     help="also report pop counters (slower variant)")
     ap.add_argument("--sets", default="coherent,incoherent")
     ap.add_argument("--any-hit", action="store_true")
+    ap.add_argument("--mode", default="packet",
+                    choices=["packet", "subpacket"],
+                    help="packet = single shared stack; subpacket = "
+                         "per-sublane 128-ray packets")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +80,7 @@ def main() -> None:
     from gpupathtracer_tpu.config import CameraConfig, RenderConfig
     from gpupathtracer_tpu.math.camera import gen_rays, generate_image_plane
     from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
+    from gpupathtracer_tpu.ops.subpacket_traverse import traverse_subpacket
     from gpupathtracer_tpu.scene import load_scene
     from gpupathtracer_tpu.scene.procedural import default_camera
     from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
@@ -108,9 +113,11 @@ def main() -> None:
     lens_u = jnp.full((N, 2), 0.5, jnp.float32)
     o_coh, d_coh = gen_rays(cam, interp, lens_u)
 
+    tfn = traverse_subpacket if args.mode == "subpacket" else traverse_pallas
+
     def run(o, d, K, with_stats=False):
         P = N // K
-        return traverse_pallas(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
                                jnp.full((P, K), 1e20, jnp.float32),
                                jnp.ones((P, K), bool),
                                stack_depth=meta.stack_depth,
