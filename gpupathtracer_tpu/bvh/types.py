@@ -79,6 +79,8 @@ class WideBVH(NamedTuple):
     refs: np.ndarray          # [R] i32 triangle indices
     node_rows: np.ndarray = None     # [W+L, 128] f32 merged packet table
     packet_entry: np.ndarray = None  # [W, 8] i32 entries (merged-row form)
+    cut_entry: np.ndarray = None     # [C] i32 treelet roots (bvh/treelet.py)
+    cut_bounds: np.ndarray = None    # [C, 6] f32 treelet root bounds
 
     @property
     def num_nodes(self) -> int:

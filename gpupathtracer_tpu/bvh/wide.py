@@ -143,7 +143,11 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     node_rows[:W, 48:56] = packet_entry.view(np.float32)
     node_rows[W:] = leaf_rows
 
-    return wide._replace(node_rows=node_rows, packet_entry=packet_entry)
+    from gpupathtracer_tpu.bvh.treelet import build_treelet_cut
+    cut_entry, cut_bounds = build_treelet_cut(node_rows, W)
+
+    return wide._replace(node_rows=node_rows, packet_entry=packet_entry,
+                         cut_entry=cut_entry, cut_bounds=cut_bounds)
 
 
 def _wide_depth(child_entry: np.ndarray) -> int:

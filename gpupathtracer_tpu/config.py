@@ -73,6 +73,8 @@ class RenderConfig:
     leaf_size: int = 10                    # max triangles per wide-BVH leaf
     force_leaf: bool = True                # pack leaves to leaf_size unconditionally
     traversal: str = "auto"                # "auto" | "pallas" (on-core kernel) | "packet" | "perray"
+    bounce_traversal: str = "auto"         # bounce-ray override: "auto" | "same" | "treelet" | any traversal name
+    treelet_min: int = 1 << 15             # min wavefront width for treelet binning
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet

@@ -50,6 +50,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        leaf_size: int = 4,
                        nee: bool = True,
                        traversal: str = "packet",
+                       bounce_traversal: str = "same",
+                       treelet_min: int = 1 << 15,
                        packet_size: int = 128,
                        textured: bool = False,
                        sun: bool = False,
@@ -125,18 +127,18 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         rays=jnp.int32(0),
     )
 
-    def body(c: Carry) -> Carry:
+    def body(c: Carry, trav: str = traversal) -> Carry:
         nw = c.o.shape[0]  # current (phase) wavefront width
         key, k = jax.random.split(c.key)
         rnd = jax.random.uniform(k, (nw, 9))
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
         t_max_full = jnp.full((nw,), T_MAX, jnp.float32)
-        if sort_rays and traversal != "perray":
+        if sort_rays and trav != "perray":
             perm = ray_sort_perm(c.o, c.d, c.alive)
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
                                   c.alive[perm], stack_depth=stack_depth,
-                                  leaf_size=leaf_size, traversal=traversal,
+                                  leaf_size=leaf_size, traversal=trav,
                                   packet_size=packet_size)
             inv = jnp.argsort(perm)
             hit = type(hit_s)(t=hit_s.t[inv], prim=hit_s.prim[inv],
@@ -144,7 +146,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         else:
             hit = trace_closest(scene, c.o, c.d, t_max_full, c.alive,
                                 stack_depth=stack_depth, leaf_size=leaf_size,
-                                traversal=traversal, packet_size=packet_size)
+                                traversal=trav, packet_size=packet_size)
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
@@ -201,7 +203,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                                       ls.shadow_tmax, alive,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
-                                      traversal=traversal,
+                                      traversal=trav,
                                       packet_size=packet_size)
             # Delta surfaces have zero BSDF toward any sampled light point.
             contribution = contribution + jnp.where(
@@ -281,17 +283,27 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     def cap(c: Carry):
         return c.i <= max_bounces + 1
 
+    def trav_for(width: int) -> str:
+        """Bounce-phase traversal: "same" keeps the primary choice; a name
+        (e.g. "treelet") applies to bounce rays at widths where the binning
+        machinery amortizes (>= treelet_min), falling back below."""
+        if bounce_traversal == "same" or width < treelet_min:
+            return traversal
+        return bounce_traversal
+
     total = None
     src = None  # compacted lane -> film lane; None while at full width
-    c = init
+    # Bounce 0 peeled: primary rays are coherent — always the plain kernel.
+    c = body(init, traversal)
     for j in range(len(widths)):
         nxt = widths[j + 1] if j + 1 < len(widths) else None
+        bodyj = partial(body, trav=trav_for(widths[j]))
         if nxt is None:
             c = jax.lax.while_loop(lambda c: jnp.any(c.alive) & cap(c),
-                                   body, c)
+                                   bodyj, c)
         else:
             c = jax.lax.while_loop(
-                lambda c: (jnp.sum(c.alive) > nxt) & cap(c), body, c)
+                lambda c: (jnp.sum(c.alive) > nxt) & cap(c), bodyj, c)
         # Fold this phase's contributions back into film-lane space.
         if src is None:
             total = c.contribution
@@ -311,6 +323,6 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "packet_size", "textured", "sun", "sun_mode",
-    "sort_rays", "delta", "compaction", "compaction_divs",
-    "compaction_min"))(render_sample_impl)
+    "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
+    "textured", "sun", "sun_mode", "sort_rays", "delta", "compaction",
+    "compaction_divs", "compaction_min"))(render_sample_impl)

@@ -44,7 +44,7 @@ VMEM_TABLE_LIMIT = 100 * 1024 * 1024
 LANES = 128
 
 
-def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
+def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             rows_ref,
             t_out, prim_out, u_out, v_out, stats_out,
             stack, sp_ref, rowbuf, sem,
@@ -52,6 +52,8 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             table_in_vmem: bool, ordered: bool):
     """One packet per grid step.
 
+    root_ref: SMEM (1,) initial stack entry (0 = whole-tree root; treelet
+    binning passes per-packet subtree roots, incl. leaf-encoded entries).
     o/d/inv: [3, G, 128] VMEM; tmax/act: [G, 128]; rows_ref: [M, 128]
     (VMEM when table_in_vmem else ANY). outs: [G, 128]. stack: SMEM (D,),
     sp_ref: SMEM (1,), rowbuf: VMEM (2, 128), sem: DMA (2,).
@@ -63,12 +65,14 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     u_out[...] = jnp.zeros((G, LANES), jnp.float32)
     v_out[...] = jnp.zeros((G, LANES), jnp.float32)
 
-    stack[0] = 0  # root node
+    root = root_ref[pl.program_id(0)]
+    stack[0] = root
     if stats_out is not None:
         ctr_ref = stats_out[1]
         ctr_ref[0] = 0  # node pops
         ctr_ref[1] = 0  # leaf pops
-    any_active = jnp.sum(act_ref[...].astype(jnp.int32)) > 0
+    any_active = ((jnp.sum(act_ref[...].astype(jnp.int32)) > 0)
+                  & (root != _INVALID))
 
     def fetch(slot, ridx):
         return pltpu.make_async_copy(rows_ref.at[pl.ds(ridx, 1)],
@@ -266,16 +270,20 @@ def _kernel(o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
                                              "with_stats", "ordered"))
-def traverse_pallas(rows, o, d, t_max, active,
+def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
+    roots: optional [P] i32 initial stack entry per packet (default: the
+    whole-tree root, entry 0); treelet binning passes subtree roots.
     Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
     (node pops, leaf pops) per packet — the profiling counter behind the
     PERF.md pop-cost model."""
     P, K, _ = o.shape
+    if roots is None:
+        roots = jnp.zeros((P,), jnp.int32)
     if K % LANES != 0:
         raise ValueError(f"packet size K={K} must be a multiple of {LANES}")
     G = K // LANES
@@ -305,22 +313,23 @@ def traverse_pallas(rows, o, d, t_max, active,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32))
 
-    def entry(o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o, v_o,
-              *rest):
+    def entry(root_r, o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o,
+              v_o, *rest):
         if with_stats:
             st_o, stack, spr, rb, sm, ctr = rest
             st_view = (st_o.at[0], ctr)
         else:
             stack, spr, rb, sm = rest
             st_view = None
-        kernel(o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0], ac_r.at[0],
-               rows_r, t_o.at[0], p_o.at[0], u_o.at[0], v_o.at[0], st_view,
-               stack, spr, rb, sm)
+        kernel(root_r, o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0],
+               ac_r.at[0], rows_r, t_o.at[0], p_o.at[0], u_o.at[0],
+               v_o.at[0], st_view, stack, spr, rb, sm)
 
     outs = pl.pallas_call(
         entry,
         grid=grid,
-        in_specs=[ray_spec, ray_spec, ray_spec, lane_spec, lane_spec,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  ray_spec, ray_spec, ray_spec, lane_spec, lane_spec,
                   pl.BlockSpec(memory_space=(pltpu.VMEM if table_in_vmem
                                              else pl.ANY))],
         out_specs=out_specs,
@@ -338,7 +347,8 @@ def traverse_pallas(rows, o, d, t_max, active,
                 + 64 * G * LANES * 4 + 4 * 1024 * 1024,
                 120 * 1024 * 1024)),
         interpret=interpret,
-    )(oT, dT, invT, t_max.reshape(P, G, LANES),
+    )(roots.astype(jnp.int32), oT, dT, invT,
+      t_max.reshape(P, G, LANES),
       active.reshape(P, G, LANES), rows)
     t, prim, u, v = outs[:4]
     result = (t.reshape(P, K), prim.reshape(P, K),

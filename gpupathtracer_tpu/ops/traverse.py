@@ -224,8 +224,15 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                   leaf_size: int, traversal: str = "packet",
                   packet_size: int = 128) -> Hit:
     """Dispatch between traversal implementations ("pallas" on-core kernel,
-    "packet" XLA shared-stack packets, "perray" lockstep)."""
+    "treelet" subtree-binned rounds, "packet" XLA shared-stack packets,
+    "perray" lockstep)."""
     traversal = resolve_traversal(traversal)
+    if traversal == "treelet":
+        from gpupathtracer_tpu.ops.treelet import trace_closest_treelet
+        return trace_closest_treelet(scene, o, d, t_max, active,
+                                     stack_depth=stack_depth,
+                                     leaf_size=leaf_size,
+                                     packet_size=max(packet_size, 128))
     if traversal == "pallas":
         return _pallas_hit(scene, o, d, t_max, active,
                            stack_depth=stack_depth, leaf_size=leaf_size,
@@ -247,6 +254,12 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                    packet_size: int = 128):
     """Dispatch any-hit/occlusion query."""
     traversal = resolve_traversal(traversal)
+    if traversal == "treelet":
+        from gpupathtracer_tpu.ops.treelet import trace_occluded_treelet
+        return trace_occluded_treelet(scene, o, d, t_max, active,
+                                      stack_depth=stack_depth,
+                                      leaf_size=leaf_size,
+                                      packet_size=max(packet_size, 128))
     if traversal == "pallas":
         hit = _pallas_hit(scene, o, d, t_max, active,
                           stack_depth=stack_depth, leaf_size=leaf_size,

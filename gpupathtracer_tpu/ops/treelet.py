@@ -1,0 +1,183 @@
+"""Treelet-binned traversal: subtree-coherent packets for incoherent rays.
+
+The packet kernel's throughput wall for diffuse bounce rays is pops/ray:
+a 2048-ray incoherent packet's shared stack visits ~11x more rows per ray
+than a coherent one (PERF.md), because the packet union covers most of the
+tree, and no reordering of whole-tree packets can shrink it (measured:
+octant/cell sorting is a net loss). This module shrinks the union
+*structurally*: rays are routed to the subtree roots of a static treelet
+cut (bvh/treelet.py), and every packet the kernel sees holds rays that all
+enter the SAME subtree — its union is bounded by that subtree.
+
+Round loop (jit, static shapes, `lax.while_loop`):
+  1. Every unresolved ray slab-tests the C cut boxes and picks the NEAREST
+     treelet it hits that it has not yet visited and whose entry distance
+     beats its current hit (near-first ordering -> early termination, the
+     packet-level role of the ordered descent in BVH.glsl:700-726).
+  2. Rays scatter into fixed-capacity per-treelet bins (argsort by treelet
+     id + rank-within-segment; overflow rays simply retry next round).
+  3. One kernel launch traverses all bins: each packet starts at its bin's
+     subtree root (`roots` input of ops/pallas_traverse.py); dead packets
+     exit before their first pop.
+  4. Results min-merge back per ray (each ray owns <= 1 slot per round, and
+     the kernel's t_max = the ray's current best, so any reported hit is an
+     improvement); visited-treelet bitmask updates.
+The loop ends when no ray has a candidate treelet left: a ray stops as
+soon as its best hit is nearer than every unvisited treelet's entry.
+
+Role in the reference: none (its per-thread GPU traversal tolerates
+incoherence natively); this is the TPU-first replacement for that hardware
+property.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.ops.traverse import Hit, _safe_inv
+
+
+def _round_up(x: int, m: int) -> int:
+    return -((-x) // m) * m
+
+
+@partial(jax.jit, static_argnames=("stack_depth", "leaf_size", "any_hit",
+                                   "packet_size", "cap", "max_rounds",
+                                   "interpret"))
+def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
+                   *, stack_depth: int, leaf_size: int, any_hit: bool,
+                   packet_size: int, cap: int, max_rounds: int,
+                   interpret: bool):
+    from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
+
+    N = o.shape[0]
+    C = cut_entry.shape[0]
+    K = packet_size
+    S = C * cap
+    C32 = (C + 31) // 32
+    roots = jnp.repeat(cut_entry, cap // K)          # [S // K] static
+    word_of = jnp.arange(C, dtype=jnp.int32) >> 5    # [C] static
+    bit_of = jnp.arange(C, dtype=jnp.int32) & 31
+
+    inv = _safe_inv(d)
+    lane = jnp.arange(N, dtype=jnp.int32)
+
+    def candidates(t, processed, occluded):
+        """Nearest unvisited treelet per ray: (tid [N], has [N])."""
+        t0 = (cut_bounds[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
+        t1 = (cut_bounds[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)   # [N, C]
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        live = active & jnp.logical_not(occluded) if any_hit else active
+        hit = (tn <= tf) & (tf > 0.0) & (tn < t[:, None]) & live[:, None]
+        seen = (jnp.take(processed, word_of, axis=1)
+                >> bit_of[None, :]) & 1              # [N, C]
+        key = jnp.where(hit & (seen == 0), tn, jnp.inf)
+        tid = jnp.argmin(key, axis=1).astype(jnp.int32)
+        has = jnp.isfinite(jnp.min(key, axis=1))
+        return tid, has
+
+    def body(state):
+        t, prim, u, v, occluded, processed, _, rnd = state
+        tid, has = candidates(t, processed, occluded)
+
+        # ---- bin by treelet: argsort + rank within segment ---------------
+        tid_s = jnp.where(has, tid, C)
+        order = jnp.argsort(tid_s).astype(jnp.int32)
+        sorted_tid = tid_s[order]
+        seg_start = jnp.searchsorted(sorted_tid,
+                                     jnp.arange(C, dtype=jnp.int32))
+        rank = lane - seg_start[jnp.clip(sorted_tid, 0, C - 1)]
+        valid = (sorted_tid < C) & (rank < cap)
+        slot = jnp.where(valid, sorted_tid * cap + rank, S)
+        slot_ray = jnp.full((S,), -1, jnp.int32).at[slot].set(
+            order, mode="drop")
+
+        sact = slot_ray >= 0
+        sridx = jnp.maximum(slot_ray, 0)
+        so = o[sridx]
+        sd = d[sridx]
+        st = t_max[sridx] if any_hit else t[sridx]
+
+        tt, pp, uu, vv = traverse_pallas(
+            rows, so.reshape(S // K, K, 3), sd.reshape(S // K, K, 3),
+            st.reshape(S // K, K), sact.reshape(S // K, K), roots=roots,
+            stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+            interpret=interpret)
+        tt, pp = tt.reshape(S), pp.reshape(S)
+        uu, vv = uu.reshape(S), vv.reshape(S)
+
+        # ---- merge (each ray owns <= 1 slot; kernel tmax was its best) ---
+        better = (pp >= 0) & sact
+        tgt = jnp.where(better, slot_ray, N)
+        if any_hit:
+            occluded = occluded.at[tgt].set(True, mode="drop")
+        else:
+            t = t.at[tgt].set(tt, mode="drop")
+            prim = prim.at[tgt].set(pp, mode="drop")
+            u = u.at[tgt].set(uu, mode="drop")
+            v = v.at[tgt].set(vv, mode="drop")
+
+        # ---- mark visited (bit was 0 by construction, so add == or) ------
+        w = word_of[jnp.clip(sorted_tid, 0, C - 1)]
+        b = bit_of[jnp.clip(sorted_tid, 0, C - 1)]
+        processed = processed.at[
+            jnp.where(valid, order, N),
+            jnp.where(valid, w, 0)].add(jnp.left_shift(1, b), mode="drop")
+
+        return (t, prim, u, v, occluded, processed,
+                jnp.sum(has.astype(jnp.int32)), rnd + 1)
+
+    state = (t_max.astype(jnp.float32),
+             jnp.full((N,), -1, jnp.int32),
+             jnp.zeros((N,), jnp.float32),
+             jnp.zeros((N,), jnp.float32),
+             jnp.zeros((N,), bool),
+             jnp.zeros((N, C32), jnp.int32),
+             jnp.int32(1), jnp.int32(0))
+    state = jax.lax.while_loop(
+        lambda s: (s[6] > 0) & (s[7] < max_rounds), body, state)
+    t, prim, u, v, occluded = state[:5]
+    return t, prim, u, v, occluded, state[7]
+
+
+def _plan(scene, n: int, packet_size: int, cap_factor: float):
+    C = int(scene.bvh.cut_entry.shape[0])
+    K = packet_size
+    cap = max(K, _round_up(int(cap_factor * n / C), K))
+    return C, K, cap
+
+
+def trace_closest_treelet(scene, o, d, t_max, active, *, stack_depth: int,
+                          leaf_size: int, packet_size: int = 2048,
+                          cap_factor: float = 2.0, max_rounds: int = 64,
+                          interpret: bool | None = None) -> Hit:
+    """Closest-hit via treelet binning. Same contract as traverse.closest_hit."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, _, cap = _plan(scene, o.shape[0], packet_size, cap_factor)
+    t, prim, u, v, _, _ = _treelet_trace(
+        scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
+        o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
+        any_hit=False, packet_size=packet_size, cap=cap,
+        max_rounds=max_rounds, interpret=interpret)
+    return Hit(t=t, prim=prim, u=u, v=v)
+
+
+def trace_occluded_treelet(scene, o, d, t_max, active, *, stack_depth: int,
+                           leaf_size: int, packet_size: int = 2048,
+                           cap_factor: float = 2.0, max_rounds: int = 64,
+                           interpret: bool | None = None):
+    """Occlusion query via treelet binning. Returns occluded [N] bool."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, _, cap = _plan(scene, o.shape[0], packet_size, cap_factor)
+    _, _, _, _, occ, _ = _treelet_trace(
+        scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
+        o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
+        any_hit=True, packet_size=packet_size, cap=cap,
+        max_rounds=max_rounds, interpret=interpret)
+    return occ

@@ -91,6 +91,11 @@ class Renderer:
         self.packet_size = (cfg.pallas_packet_size
                             if self.traversal == "pallas"
                             else cfg.packet_size)
+        # Bounce-ray override ("treelet" = subtree binning, ops/treelet.py).
+        # "auto" currently resolves to "same": measured treelet round counts
+        # still lose to the plain kernel end-to-end (PERF.md).
+        self.bounce_traversal = ("same" if cfg.bounce_traversal == "auto"
+                                 else cfg.bounce_traversal)
 
         self.accum = jnp.zeros((self.n_rays, 3), jnp.float32)
         self.num_samples = 0
@@ -156,6 +161,8 @@ class Renderer:
             stack_depth=self.meta.stack_depth,
             leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,
             traversal=self.traversal,
+            bounce_traversal=self.bounce_traversal,
+            treelet_min=self.cfg.treelet_min,
             packet_size=min(self.packet_size, self.chunk),
             textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
             sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
@@ -171,6 +178,8 @@ class Renderer:
                       leaf_size=self.meta.leaf_size,
                       model=self.cfg.microfacet,
                       traversal=self.traversal,
+                      bounce_traversal=self.bounce_traversal,
+                      treelet_min=self.cfg.treelet_min,
                       packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,
                       sun=self.cfg.sun_enabled,
@@ -189,13 +198,15 @@ class Renderer:
         if integrator == "reference":
             kwargs.pop("delta", None)  # reference integrator: diffuse only
             kwargs.pop("sun_mode", None)  # reference: sun-on-miss only
+            kwargs.pop("bounce_traversal", None)
+            kwargs.pop("treelet_min", None)
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
         if integrator == "ao":
             from gpupathtracer_tpu.models.ao import render_sample_ao
             for k in ("max_bounces", "model", "textured", "sun", "delta",
-                      "sun_mode"):
+                      "sun_mode", "bounce_traversal", "treelet_min"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
                                     **kwargs)

@@ -133,6 +133,11 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         from gpupathtracer_tpu.bvh.wide import pack_for_packets
         wide = pack_for_packets(wide, soup.p0, soup.e1, soup.e2,
                                 leaf_size=cfg.leaf_size)
+    if wide.cut_entry is None:
+        from gpupathtracer_tpu.bvh.treelet import build_treelet_cut
+        cut_entry, cut_bounds = build_treelet_cut(
+            np.asarray(wide.node_rows), stats.num_wide_nodes)
+        wide = wide._replace(cut_entry=cut_entry, cut_bounds=cut_bounds)
 
     data = SceneData(
         tri_geom=jnp.asarray(pack_tri_geom(soup.p0, soup.e1, soup.e2)),
@@ -164,6 +169,8 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
                     refs=jnp.asarray(wide.refs),
                     node_rows=jnp.asarray(wide.node_rows),
                     packet_entry=jnp.asarray(wide.packet_entry),
+                    cut_entry=jnp.asarray(wide.cut_entry),
+                    cut_bounds=jnp.asarray(wide.cut_bounds),
                     ),
     )
     meta = SceneMeta(

@@ -68,9 +68,11 @@ def main() -> None:
     ap.add_argument("--sets", default="coherent,incoherent")
     ap.add_argument("--any-hit", action="store_true")
     ap.add_argument("--mode", default="packet",
-                    choices=["packet", "subpacket"],
+                    choices=["packet", "subpacket", "treelet"],
                     help="packet = single shared stack; subpacket = "
-                         "per-sublane 128-ray packets")
+                         "per-sublane 128-ray packets; treelet = "
+                         "subtree-binned rounds (ops/treelet.py)")
+    ap.add_argument("--cap-factor", type=float, default=2.0)
     args = ap.parse_args()
 
     import jax
@@ -115,19 +117,37 @@ def main() -> None:
 
     tfn = traverse_subpacket if args.mode == "subpacket" else traverse_pallas
 
-    def run(o, d, K, with_stats=False):
-        P = N // K
-        return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
-                               jnp.full((P, K), 1e20, jnp.float32),
-                               jnp.ones((P, K), bool),
-                               stack_depth=meta.stack_depth,
-                               leaf_size=meta.leaf_size,
-                               any_hit=args.any_hit,
-                               ordered=bool(args.ordered),
-                               with_stats=with_stats)
+    if args.mode == "treelet":
+        from gpupathtracer_tpu.ops.treelet import (trace_closest_treelet,
+                                                   trace_occluded_treelet)
+        print(f"# treelet cut: C={scene.bvh.cut_entry.shape[0]} "
+              f"cap_factor={args.cap_factor}", file=sys.stderr)
+
+        def run(o, d, K, with_stats=False):
+            tmax = jnp.full((N,), 1e20, jnp.float32)
+            act = jnp.ones((N,), bool)
+            kw = dict(stack_depth=meta.stack_depth,
+                      leaf_size=meta.leaf_size, packet_size=K,
+                      cap_factor=args.cap_factor, interpret=False)
+            if args.any_hit:
+                occ = trace_occluded_treelet(scene, o, d, tmax, act, **kw)
+                return (occ.astype(jnp.float32),) * 5
+            hit = trace_closest_treelet(scene, o, d, tmax, act, **kw)
+            return hit.t, hit.prim, hit.u, hit.v, jnp.zeros((1, 2), jnp.int32)
+    else:
+        def run(o, d, K, with_stats=False):
+            P = N // K
+            return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+                       jnp.full((P, K), 1e20, jnp.float32),
+                       jnp.ones((P, K), bool),
+                       stack_depth=meta.stack_depth,
+                       leaf_size=meta.leaf_size,
+                       any_hit=args.any_hit,
+                       ordered=bool(args.ordered),
+                       with_stats=with_stats)
 
     # Incoherent set: random dirs from the coherent hit points, permuted.
-    t, prim, _, _ = run(o_coh, d_coh, k_list[0])
+    t, prim = run(o_coh, d_coh, k_list[0])[:2]
     t = t.reshape(N)
     hitp = jnp.where((prim.reshape(N) >= 0)[:, None],
                      o_coh + d_coh * (t[:, None] * 0.999), o_coh)
@@ -150,7 +170,7 @@ def main() -> None:
             mrays = N / med / 1e6
             line = (f"K={K} {name}: {mrays:.2f} Mrays/s "
                     f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
-            if args.stats:
+            if args.stats and args.mode != "treelet":
                 st = np.asarray(run(o, d, K, with_stats=True)[4])
                 tot = st.sum(0)
                 line += (f" | pops/packet node p50={np.median(st[:, 0]):.0f}"
