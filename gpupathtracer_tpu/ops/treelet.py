@@ -46,16 +46,17 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.jit, static_argnames=("stack_depth", "leaf_size", "any_hit",
                                    "packet_size", "cap", "max_rounds",
-                                   "interpret"))
+                                   "fanout", "interpret"))
 def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
                    *, stack_depth: int, leaf_size: int, any_hit: bool,
                    packet_size: int, cap: int, max_rounds: int,
-                   interpret: bool):
+                   fanout: int, interpret: bool):
     from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
 
     N = o.shape[0]
     C = cut_entry.shape[0]
     K = packet_size
+    R = max(1, min(fanout, C))
     S = C * cap
     C32 = (C + 31) // 32
     roots = jnp.repeat(cut_entry, cap // K)          # [S // K] static
@@ -63,10 +64,18 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
     bit_of = jnp.arange(C, dtype=jnp.int32) & 31
 
     inv = _safe_inv(d)
-    lane = jnp.arange(N, dtype=jnp.int32)
+    pair_lane = jnp.arange(N * R, dtype=jnp.int32)
 
     def candidates(t, processed, occluded):
-        """Nearest unvisited treelet per ray: (tid [N], has [N])."""
+        """R nearest unvisited treelets per ray: (tid [N, R], has [N, R]).
+
+        Measured (PERF.md): incoherent rays need only ~2 treelet visits on
+        average (p99 = 6) once pruned by their final hit, but visiting one
+        treelet per round serializes the worst-case ray (22-26 rounds).
+        Fanning out to the R nearest candidates per round collapses the
+        round count to ~ceil(maxV / R) at a small pop overshoot (the
+        2nd..Rth candidates are taken before the 1st's hit could prune
+        them)."""
         t0 = (cut_bounds[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
         t1 = (cut_bounds[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)   # [N, C]
@@ -76,25 +85,25 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
         seen = (jnp.take(processed, word_of, axis=1)
                 >> bit_of[None, :]) & 1              # [N, C]
         key = jnp.where(hit & (seen == 0), tn, jnp.inf)
-        tid = jnp.argmin(key, axis=1).astype(jnp.int32)
-        has = jnp.isfinite(jnp.min(key, axis=1))
-        return tid, has
+        negk, tid = jax.lax.top_k(-key, R)           # R smallest keys
+        return tid.astype(jnp.int32), jnp.isfinite(negk)
 
     def body(state):
         t, prim, u, v, occluded, processed, _, rnd = state
         tid, has = candidates(t, processed, occluded)
 
-        # ---- bin by treelet: argsort + rank within segment ---------------
-        tid_s = jnp.where(has, tid, C)
-        order = jnp.argsort(tid_s).astype(jnp.int32)
+        # ---- bin (ray, treelet) pairs: argsort + rank within segment -----
+        tid_s = jnp.where(has, tid, C).reshape(N * R)
+        order = jnp.argsort(tid_s).astype(jnp.int32)   # pair indices
         sorted_tid = tid_s[order]
+        ray_of = order // R
         seg_start = jnp.searchsorted(sorted_tid,
                                      jnp.arange(C, dtype=jnp.int32))
-        rank = lane - seg_start[jnp.clip(sorted_tid, 0, C - 1)]
+        rank = pair_lane - seg_start[jnp.clip(sorted_tid, 0, C - 1)]
         valid = (sorted_tid < C) & (rank < cap)
         slot = jnp.where(valid, sorted_tid * cap + rank, S)
         slot_ray = jnp.full((S,), -1, jnp.int32).at[slot].set(
-            order, mode="drop")
+            ray_of, mode="drop")
 
         sact = slot_ray >= 0
         sridx = jnp.maximum(slot_ray, 0)
@@ -110,22 +119,25 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
         tt, pp = tt.reshape(S), pp.reshape(S)
         uu, vv = uu.reshape(S), vv.reshape(S)
 
-        # ---- merge (each ray owns <= 1 slot; kernel tmax was its best) ---
+        # ---- merge (a ray may win in several slots: scatter-min on t,
+        # then winners place prim/u/v; equal-t ties pick one winner) -------
         better = (pp >= 0) & sact
         tgt = jnp.where(better, slot_ray, N)
         if any_hit:
             occluded = occluded.at[tgt].set(True, mode="drop")
         else:
-            t = t.at[tgt].set(tt, mode="drop")
-            prim = prim.at[tgt].set(pp, mode="drop")
-            u = u.at[tgt].set(uu, mode="drop")
-            v = v.at[tgt].set(vv, mode="drop")
+            t = t.at[tgt].min(tt, mode="drop")
+            win = better & (tt == t[sridx])
+            wtgt = jnp.where(win, slot_ray, N)
+            prim = prim.at[wtgt].set(pp, mode="drop")
+            u = u.at[wtgt].set(uu, mode="drop")
+            v = v.at[wtgt].set(vv, mode="drop")
 
-        # ---- mark visited (bit was 0 by construction, so add == or) ------
+        # ---- mark visited (bits distinct per round, so add == or) --------
         w = word_of[jnp.clip(sorted_tid, 0, C - 1)]
         b = bit_of[jnp.clip(sorted_tid, 0, C - 1)]
         processed = processed.at[
-            jnp.where(valid, order, N),
+            jnp.where(valid, ray_of, N),
             jnp.where(valid, w, 0)].add(jnp.left_shift(1, b), mode="drop")
 
         return (t, prim, u, v, occluded, processed,
@@ -154,6 +166,7 @@ def _plan(scene, n: int, packet_size: int, cap_factor: float):
 def trace_closest_treelet(scene, o, d, t_max, active, *, stack_depth: int,
                           leaf_size: int, packet_size: int = 2048,
                           cap_factor: float = 2.0, max_rounds: int = 64,
+                          fanout: int = 4,
                           interpret: bool | None = None) -> Hit:
     """Closest-hit via treelet binning. Same contract as traverse.closest_hit."""
     if interpret is None:
@@ -163,13 +176,14 @@ def trace_closest_treelet(scene, o, d, t_max, active, *, stack_depth: int,
         scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
         o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
         any_hit=False, packet_size=packet_size, cap=cap,
-        max_rounds=max_rounds, interpret=interpret)
+        max_rounds=max_rounds, fanout=fanout, interpret=interpret)
     return Hit(t=t, prim=prim, u=u, v=v)
 
 
 def trace_occluded_treelet(scene, o, d, t_max, active, *, stack_depth: int,
                            leaf_size: int, packet_size: int = 2048,
                            cap_factor: float = 2.0, max_rounds: int = 64,
+                           fanout: int = 4,
                            interpret: bool | None = None):
     """Occlusion query via treelet binning. Returns occluded [N] bool."""
     if interpret is None:
@@ -179,5 +193,5 @@ def trace_occluded_treelet(scene, o, d, t_max, active, *, stack_depth: int,
         scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
         o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
         any_hit=True, packet_size=packet_size, cap=cap,
-        max_rounds=max_rounds, interpret=interpret)
+        max_rounds=max_rounds, fanout=fanout, interpret=interpret)
     return occ

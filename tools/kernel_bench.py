@@ -73,6 +73,7 @@ def main() -> None:
                          "per-sublane 128-ray packets; treelet = "
                          "subtree-binned rounds (ops/treelet.py)")
     ap.add_argument("--cap-factor", type=float, default=2.0)
+    ap.add_argument("--fanout", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -128,7 +129,8 @@ def main() -> None:
             act = jnp.ones((N,), bool)
             kw = dict(stack_depth=meta.stack_depth,
                       leaf_size=meta.leaf_size, packet_size=K,
-                      cap_factor=args.cap_factor, interpret=False)
+                      cap_factor=args.cap_factor, fanout=args.fanout,
+                      interpret=False)
             if args.any_hit:
                 occ = trace_occluded_treelet(scene, o, d, tmax, act, **kw)
                 return (occ.astype(jnp.float32),) * 5
