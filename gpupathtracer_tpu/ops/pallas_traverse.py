@@ -52,8 +52,9 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             table_in_vmem: bool, ordered: bool):
     """One packet per grid step.
 
-    root_ref: SMEM (1,) initial stack entry (0 = whole-tree root; treelet
-    binning passes per-packet subtree roots, incl. leaf-encoded entries).
+    root_ref: SMEM (P,) initial stack entry per packet (0 = whole-tree
+    root; treelet binning passes subtree roots, incl. leaf-encoded
+    entries).
     o/d/inv: [3, G, 128] VMEM; tmax/act: [G, 128]; rows_ref: [M, 128]
     (VMEM when table_in_vmem else ANY). outs: [G, 128]. stack: SMEM (D,),
     sp_ref: SMEM (1,), rowbuf: VMEM (2, 128), sem: DMA (2,).
@@ -267,17 +268,239 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                              + jnp.where(lane == 1, ctr_ref[1], 0))
 
 
+def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
+                  rows_ref,
+                  t_out, prim_out, u_out, v_out, stats_out,
+                  stack, sp_ref, rowbuf, sem,
+                  *, stack_depth: int, leaf_size: int, any_hit: bool,
+                  table_in_vmem: bool, ordered: bool, multi_pop: int):
+    """Q-pop variant of _kernel: each iteration pops up to Q = multi_pop
+    entries from the SAME shared stack and overlaps their latency chains.
+
+    The 460 ns single-pop cost is the serial pop->fetch->sync->push chain,
+    not instruction count (PERF.md sentinel-push ablation), and it is
+    G-flat — the VPU idles during a pop. Here ALL Q pops' vector work
+    (8-child slabs AND leaf Moller-Trumbore) is issued unconditionally up
+    front, masked by scalar node/leaf flags (pl.when branches would
+    serialize the regions); the Q scalar push blocks then run while later
+    pops' vector results are still in flight. Unlike the sub-packet kernel
+    (independent stacks -> 2.3x pop inflation) the shared stack keeps the
+    pop COUNT identical to single-pop; only the retire rate changes.
+    """
+    G = o_ref.shape[1]
+    Q = multi_pop
+
+    t_out[...] = tmax_ref[...]
+    prim_out[...] = jnp.full((G, LANES), -1, jnp.int32)
+    u_out[...] = jnp.zeros((G, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((G, LANES), jnp.float32)
+
+    root = root_ref[pl.program_id(0)]
+    stack[0] = root
+    if stats_out is not None:
+        ctr_ref = stats_out[1]
+        ctr_ref[0] = 0
+        ctr_ref[1] = 0
+    any_active = ((jnp.sum(act_ref[...].astype(jnp.int32)) > 0)
+                  & (root != _INVALID))
+
+    def body(carry):
+        sp0, slot = carry
+        # ---- pop up to Q entries (scalar) --------------------------------
+        entries, metas = [], []
+        sps = sp0
+        for q in range(Q):
+            have = sps > 0
+            e = jnp.where(have, stack[jnp.maximum(sps - 1, 0)], _INVALID)
+            sps = jnp.where(have, sps - 1, sps)
+            is_leaf = e < 0
+            is_node = (e >= 0) & (e != _INVALID)
+            packed = jnp.where(is_leaf, -(e + 1), 0)
+            ridx = jnp.where(is_leaf, packed >> 4, jnp.where(is_node, e, 0))
+            entries.append(e)
+            metas.append((is_node, is_leaf, packed, ridx))
+        sp_ref[0] = sps
+        if stats_out is not None:
+            n_node = jnp.int32(0)
+            n_leaf = jnp.int32(0)
+            for is_node, is_leaf, _, _ in metas:
+                n_node = n_node + is_node.astype(jnp.int32)
+                n_leaf = n_leaf + is_leaf.astype(jnp.int32)
+            ctr_ref[0] = ctr_ref[0] + n_node
+            ctr_ref[1] = ctr_ref[1] + n_leaf
+
+        # ---- fetch all Q rows --------------------------------------------
+        rows_q = []
+        for q, (is_node, is_leaf, packed, ridx) in enumerate(metas):
+            if table_in_vmem:
+                row = rows_ref[pl.ds(ridx, 1), :]
+            else:
+                cp = pltpu.make_async_copy(rows_ref.at[pl.ds(ridx, 1)],
+                                           rowbuf.at[pl.ds(q, 1)],
+                                           sem.at[q])
+                cp.start()
+                rows_q.append(cp)
+                continue
+            rows_q.append(row)
+        if not table_in_vmem:
+            waited = []
+            for q, cp in enumerate(rows_q):
+                cp.wait()
+                waited.append(rowbuf[pl.ds(q, 1), :])
+            rows_q = waited
+
+        act = act_ref[...]
+        rays_on = act & (prim_out[...] < 0) if any_hit else act
+        o = o_ref[...]
+        d = d_ref[...]
+        inv = inv_ref[...]
+        oi = [o[a] * inv[a] for a in range(3)]
+        t_entry = t_out[...]  # pre-iteration t for node pruning
+
+        views = []
+        for row in rows_q:
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            if G > 1:
+                rowG = pltpu.repeat(row, G, axis=0)
+            else:
+                rowG = row
+            views.append((row_i, rowG))
+
+        # ---- node slab tests for ALL pops (masked, unconditional) --------
+        keyvs = []
+        for q, (is_node, is_leaf, packed, ridx) in enumerate(metas):
+            row_i, rowG = views[q]
+
+            def bv(l, rowG=rowG):
+                return rowG[:, l:l + 1]
+
+            on = rays_on & is_node
+            hits, tmins = [], []
+            for j in range(8):
+                tmin = None
+                tmax_ = None
+                for a in range(3):
+                    lo = bv(j * 6 + a)
+                    hi = bv(j * 6 + 3 + a)
+                    t0 = lo * inv[a] - oi[a]
+                    t1 = hi * inv[a] - oi[a]
+                    lo_t = jnp.minimum(t0, t1)
+                    hi_t = jnp.maximum(t0, t1)
+                    tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+                    tmax_ = (hi_t if tmax_ is None
+                             else jnp.minimum(tmax_, hi_t))
+                hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                            & (tmin < t_entry) & on)
+                tmins.append(tmin)
+            h8 = jnp.stack(hits)
+            t8 = jnp.stack(tmins)
+            keyvs.append(jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                                 axis=1, keepdims=True))  # [8, 1]
+
+        # ---- scalar pushes per pop (overlaps later pops' vector work) ----
+        new_sp = sps
+        for q, (is_node, is_leaf, packed, ridx) in enumerate(metas):
+            row_i, _ = views[q]
+            keyv = keyvs[q]
+            keys = [keyv[j, 0] for j in range(8)]
+            pairs = []
+            for j in range(8):
+                centry = row_i[0, 48 + j]
+                k = jnp.where(centry == _INVALID, jnp.inf, keys[j])
+                pairs.append((k, centry))
+            if ordered:
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                       (3, 4)]
+                for a, b in net:
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb  # descending: nearest pushed last
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+            for k, centry in pairs:
+                pushed = k < jnp.inf
+                idx = jnp.minimum(new_sp, stack_depth - 1)
+                stack[idx] = jnp.where(pushed, centry, stack[idx])
+                new_sp = new_sp + jnp.where(pushed, 1, 0)
+
+        # ---- leaf Moller-Trumbore for ALL pops (masked, chained) ---------
+        t_c = t_out[...]
+        prim_c = prim_out[...]
+        u_c = u_out[...]
+        v_c = v_out[...]
+        for q, (is_node, is_leaf, packed, ridx) in enumerate(metas):
+            row_i, rowG = views[q]
+            rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
+
+            def bv(l, rowG=rowG):
+                return rowG[:, l:l + 1]
+
+            count = packed & 15
+            on_leaf = rays_on & is_leaf
+            for k in range(leaf_size):
+                b = k * 12
+                p0 = [bv(b + a) for a in range(3)]
+                e1 = [bv(b + 3 + a) for a in range(3)]
+                e2 = [bv(b + 6 + a) for a in range(3)]
+                pid = rowGi[:, b + 9:b + 10]
+                px = d[1] * e2[2] - d[2] * e2[1]
+                py = d[2] * e2[0] - d[0] * e2[2]
+                pz = d[0] * e2[1] - d[1] * e2[0]
+                det = e1[0] * px + e1[1] * py + e1[2] * pz
+                idet = 1.0 / det
+                tx = o[0] - p0[0]
+                ty = o[1] - p0[1]
+                tz = o[2] - p0[2]
+                uu = (tx * px + ty * py + tz * pz) * idet
+                qx = ty * e1[2] - tz * e1[1]
+                qy = tz * e1[0] - tx * e1[2]
+                qz = tx * e1[1] - ty * e1[0]
+                vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0) & (uu + vv < 1.0)
+                      & (tt > 0.0) & (tt < t_c) & on_leaf & (k < count))
+                t_c = jnp.where(ok, tt, t_c)
+                prim_c = jnp.where(ok, pid, prim_c)
+                u_c = jnp.where(ok, uu, u_c)
+                v_c = jnp.where(ok, vv, v_c)
+        t_out[...] = t_c
+        prim_out[...] = prim_c
+        u_out[...] = u_c
+        v_out[...] = v_c
+
+        sp = new_sp
+        if any_hit:
+            done = jnp.sum((act & (prim_c < 0)).astype(jnp.int32)) == 0
+            sp = jnp.where(done, 0, sp)
+        return sp, 1 - slot
+
+    sp0 = jnp.where(any_active, 1, 0)
+    jax.lax.while_loop(lambda c: c[0] > 0, body, (sp0, jnp.int32(0)))
+    if stats_out is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
+                             + jnp.where(lane == 1, ctr_ref[1], 0))
+
+
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
-                                             "with_stats", "ordered"))
+                                             "with_stats", "ordered",
+                                             "multi_pop"))
 def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
-                    with_stats: bool = False, ordered: bool = True):
+                    with_stats: bool = False, ordered: bool = True,
+                    multi_pop: int = 1):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
     whole-tree root, entry 0); treelet binning passes subtree roots.
+    multi_pop: entries retired per kernel iteration (Q latency chains
+    overlapped; see _kernel_multi).
     Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
     (node pops, leaf pops) per packet — the profiling counter behind the
     PERF.md pop-cost model."""
@@ -293,9 +516,19 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     invT = jnp.where(dT >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dT), eps)
 
     table_in_vmem = rows.size * rows.dtype.itemsize <= VMEM_TABLE_LIMIT
-    kernel = functools.partial(_kernel, stack_depth=stack_depth,
-                               leaf_size=leaf_size, any_hit=any_hit,
-                               table_in_vmem=table_in_vmem, ordered=ordered)
+    if multi_pop > 1:
+        # Q-pop expands up to Q subtrees at once: the single-pop DFS depth
+        # bound (7 entries/level) scales by the lookahead width.
+        stack_depth = stack_depth * multi_pop
+        kernel = functools.partial(_kernel_multi, stack_depth=stack_depth,
+                                   leaf_size=leaf_size, any_hit=any_hit,
+                                   table_in_vmem=table_in_vmem,
+                                   ordered=ordered, multi_pop=multi_pop)
+    else:
+        kernel = functools.partial(_kernel, stack_depth=stack_depth,
+                                   leaf_size=leaf_size, any_hit=any_hit,
+                                   table_in_vmem=table_in_vmem,
+                                   ordered=ordered)
     grid = (P,)
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -336,8 +569,8 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
-                        pltpu.VMEM((2, LANES), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))]
+                        pltpu.VMEM((max(2, multi_pop), LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((max(2, multi_pop),))]
                    + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
         # The table blows the default 16 MB scoped-VMEM budget; size the
         # limit to table + double-buffered ray/output blocks + slack.

@@ -50,3 +50,55 @@ def test_pallas_kernel_matches_perray_interpret():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(prim).reshape(N) < 0,
                                   np.asarray(ref.prim) < 0)
+
+
+def test_pallas_multi_pop_matches():
+    """Q-pop kernel (_kernel_multi) == single-pop results."""
+    rng = np.random.RandomState(9)
+    n = 300
+    base = rng.uniform(-5, 5, (n, 1, 3))
+    offs = rng.uniform(-0.6, 0.6, (n, 3, 3))
+    tri = (base + offs).astype(np.float32)
+    p0, p1, p2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4, builder="numpy")
+    wide = pack_for_packets(wide, p0, p1 - p0, p2 - p0, 4)
+    rows = jnp.asarray(wide.node_rows)
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    dev = WideBVH(*((jnp.asarray(a) if a is not None else None)
+                    for a in wide))
+    depth = stats.max_depth * 7 + 2
+
+    K, P = 128, 2
+    N = P * K
+    o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.asarray(rng.rand(N) < 0.8)
+
+    ref = closest_hit(dev, geom, o, d, tmax, jnp.asarray(act),
+                      stack_depth=depth)
+    for Q in (2, 4):
+        t, prim, u, v = traverse_pallas(
+            rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+            tmax.reshape(P, K), act.reshape(P, K),
+            stack_depth=depth, interpret=True, multi_pop=Q)
+        np.testing.assert_allclose(np.asarray(t).reshape(N),
+                                   np.asarray(ref.t), rtol=1e-5, atol=1e-5)
+        m = np.asarray(ref.prim) >= 0
+        np.testing.assert_array_equal(np.asarray(prim).reshape(N)[m],
+                                      np.asarray(ref.prim)[m])
+
+    # any-hit mode too
+    from gpupathtracer_tpu.ops.traverse import any_hit
+    tm2 = jnp.full((N,), 5.0, jnp.float32)
+    occ_ref = any_hit(dev, geom, o, d, tm2, jnp.asarray(act),
+                      stack_depth=depth)
+    _, prim2, _, _ = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        tm2.reshape(P, K), act.reshape(P, K),
+        stack_depth=depth, interpret=True, multi_pop=2, any_hit=True)
+    occ = (np.asarray(prim2).reshape(N) >= 0) & np.asarray(act)
+    np.testing.assert_array_equal(occ, np.asarray(occ_ref))

@@ -74,6 +74,8 @@ def main() -> None:
                          "subtree-binned rounds (ops/treelet.py)")
     ap.add_argument("--cap-factor", type=float, default=2.0)
     ap.add_argument("--fanout", type=int, default=4)
+    ap.add_argument("--multi-pop", type=int, default=1,
+                    help="entries retired per kernel iteration (packet mode)")
     args = ap.parse_args()
 
     import jax
@@ -146,6 +148,8 @@ def main() -> None:
                        leaf_size=meta.leaf_size,
                        any_hit=args.any_hit,
                        ordered=bool(args.ordered),
+                       **({"multi_pop": args.multi_pop}
+                          if args.mode == "packet" else {}),
                        with_stats=with_stats)
 
     # Incoherent set: random dirs from the coherent hit points, permuted.
