@@ -257,7 +257,13 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # --- Russian roulette (Iterative.comp:291-300) ---
         continuation = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
         throughput = throughput / jnp.maximum(continuation, 1e-12)[..., None]
-        kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
+        if max_bounces == 0:
+            # Pure direct lighting (BASELINE config 3 real-time mode):
+            # primary hit + emitter visibility + NEE only, no continuation
+            # wavefront is ever traced.
+            kill = jnp.ones((nw,), bool)
+        else:
+            kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
         alive = alive & ~kill
 
         return Carry(i=c.i + 1, key=key, o=new_o, d=new_d,

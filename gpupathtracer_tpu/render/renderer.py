@@ -190,9 +190,9 @@ class Renderer:
                                  nee=self.cfg.nee_enabled,
                                  sort_rays=self.cfg.sort_rays, **kwargs)
         if integrator == "direct":
-            # Real-time mode (BASELINE config 3): primary hit + NEE + one
-            # BSDF continuation for specular/env, no deeper bounces.
-            kwargs["max_bounces"] = 1
+            # Real-time mode (BASELINE config 3): primary hit + emitter
+            # visibility + NEE shadow rays; no continuation wavefront.
+            kwargs["max_bounces"] = 0
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=True, **kwargs)
         if integrator == "reference":
