@@ -105,6 +105,34 @@ def main() -> None:
     print(f"# realtime direct 640x360: {rt_fps:.2f} fps", file=sys.stderr)
     extra["realtime_direct_fps"] = round(rt_fps, 2)
 
+    # --- table-scene direct FPS (the reference's real-time claims are on
+    # the table scene: 140 FPS RT / 60 FPS shadow rays / 45 FPS progressive
+    # on a GTX 980, README.md:22-29) ---------------------------------------
+    if not quick:
+        from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        tcfg = RenderConfig(scene_path="proc:table",
+                            skybox="GENERATE COLOR BLACK",
+                            width=800, height=600, integrator="direct",
+                            max_bounces=0, ray_chunk=1 << 21,
+                            cache_enabled=True)
+        pos, yaw, pitch, fov, aperture, focus = default_camera("proc:table")
+        tcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                   fov=math.radians(fov), aspect=800 / 600,
+                                   aperture=aperture, focal_distance=focus)
+        rt2 = Renderer(tcfg)
+        rt2.render_frame(sync=True)
+        fps2 = []
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(4):
+                rt2.render_frame(sync=(i == 3))
+            fps2.append(4.0 / (time.time() - t0))
+        table_fps = statistics.median(fps2)
+        print(f"# table direct 800x600: {table_fps:.2f} fps "
+              f"(reference RT claims are on this scene)", file=sys.stderr)
+        extra["table_direct_fps"] = round(table_fps, 2)
+
     # --- time-to-256spp on the Salle-de-Bain-class scene ------------------
     if not quick:
         from gpupathtracer_tpu.config import CameraConfig, RenderConfig
