@@ -211,6 +211,15 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                 ls.throughput * ls.emission, 0.0)
 
         # --- BSDF sampling + throughput update (Iterative.comp:282-284) ---
+        if max_bounces == 0:
+            # Pure direct lighting: no path continues past this bounce, so
+            # the continuation sample, delta handling, and RR are dead work
+            # (~13 ms of the 64 ms direct frame at 640x360, measured).
+            return Carry(i=c.i + 1, key=key, o=pos, d=c.d,
+                         throughput=c.throughput, contribution=contribution,
+                         pdf0=c.pdf0, pdf1=c.pdf1, last_pos=pos,
+                         alive=jnp.zeros((nw,), bool), rays=rays)
+
         inter_b, pdf0, pdf1 = generate_importance_sample(
             mat, inter, rnd[:, 3], rnd[:, 4:6], model)
         new_d = inter_b.incoming
@@ -257,13 +266,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # --- Russian roulette (Iterative.comp:291-300) ---
         continuation = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
         throughput = throughput / jnp.maximum(continuation, 1e-12)[..., None]
-        if max_bounces == 0:
-            # Pure direct lighting (BASELINE config 3 real-time mode):
-            # primary hit + emitter visibility + NEE only, no continuation
-            # wavefront is ever traced.
-            kill = jnp.ones((nw,), bool)
-        else:
-            kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
+        kill = (rnd[:, 6] > continuation) | (c.i > max_bounces)
         alive = alive & ~kill
 
         return Carry(i=c.i + 1, key=key, o=new_o, d=new_d,
@@ -280,7 +283,11 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     # instead of full-width ones. Unbiased: a phase only ends early once the
     # live count fits the next buffer, and every survivor continues there.
     widths = [n]
-    if compaction:
+    # max_bounces == 0 (pure direct lighting) kills every path at the end
+    # of the peeled bounce; without this gate the phase chain still paid
+    # ~7 argsorts + gathers on an all-dead wavefront (~70 ms of the 81 ms
+    # direct frame at 640x360, measured).
+    if compaction and max_bounces > 0:
         for div in compaction_divs:
             wn = max(n // div, compaction_min)
             if wn < widths[-1]:
