@@ -60,6 +60,7 @@ def build_config(args) -> "RenderConfig":
     cfg.tonemap = "none" if args.no_tonemap else "uncharted2"
     cfg.cache_enabled = not args.no_cache
     cfg.bvh_builder = args.bvh_builder
+    cfg.sampler = args.sampler
     if args.chunk:
         cfg.ray_chunk = args.chunk
     return cfg
@@ -91,6 +92,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-tonemap", action="store_true")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", default="random", choices=["random", "ld"],
+                   help="pixel jitter: threefry or R2 low-discrepancy")
     p.add_argument("--exposure", type=float, default=1.68)
     p.add_argument("--bvh-builder", default="auto",
                    choices=["auto", "cpp", "numpy"])

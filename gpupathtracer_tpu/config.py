@@ -76,6 +76,7 @@ class RenderConfig:
     bounce_traversal: str = "auto"         # bounce-ray override: "auto" | "same" | "treelet" | any traversal name
     treelet_min: int = 1 << 15             # min wavefront width for treelet binning
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
+    sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet
     pallas_packet_size: int = 2048         # rays per Pallas kernel packet (mult of 128)

@@ -75,6 +75,38 @@ def golden_ratio_sequence(n: int, offset: float = 0.0):
     return jnp.mod(offset + (i + 1) * GOLDEN_RATIO_CONJUGATE, 1.0)
 
 
+def r2_sequence(sample_idx):
+    """2D R2 additive low-discrepancy point for one sample index.
+
+    The generalized-golden-ratio sequence (Roberts 2018): the 2D analogue
+    of the reference's 1D golden-ratio experiments (Renderer.cpp:784-812).
+    Returns [2] in [0,1)."""
+    g = 1.32471795724474602596  # plastic constant
+    a = jnp.asarray([1.0 / g, 1.0 / (g * g)], jnp.float32)
+    return jnp.mod((sample_idx.astype(jnp.float32) + 1.0) * a, 1.0)
+
+
+def pixel_rotation(pixel_ids):
+    """Per-pixel Cranley-Patterson rotation [..., 2] from an integer hash.
+
+    Decorrelates the shared LD sequence across pixels (lowbias32-style
+    integer hash; cheap enough to run full-width every sample)."""
+    x = pixel_ids.astype(jnp.uint32)
+
+    def h(v):
+        v = v ^ (v >> 16)
+        v = v * jnp.uint32(0x7FEB352D)
+        v = v ^ (v >> 15)
+        v = v * jnp.uint32(0x846CA68B)
+        return v ^ (v >> 16)
+
+    h1 = h(x)
+    h2 = h(x ^ jnp.uint32(0x9E3779B9))
+    scale = jnp.float32(1.0 / 4294967296.0)
+    return jnp.stack([h1.astype(jnp.float32) * scale,
+                      h2.astype(jnp.float32) * scale], axis=-1)
+
+
 def van_der_corput(i, base: int = 2, bits: int = 24):
     """Radical inverse of integer array `i` in `base` (Renderer.cpp:848-871)."""
     i = jnp.asarray(i, jnp.uint32)

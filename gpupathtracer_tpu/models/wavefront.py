@@ -60,7 +60,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        delta: bool = False,
                        compaction: bool = True,
                        compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
-                       compaction_min: int = 2048):
+                       compaction_min: int = 2048,
+                       sampler: str = "random",
+                       sample_idx=0):
     """Trace one sample for each pixel lane.
 
     Args:
@@ -74,7 +76,20 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     """
     n = pixel_x.shape[0]
     key, k_jitter, k_lens = jax.random.split(key, 3)
-    jitter = jax.random.uniform(k_jitter, (n, 2))
+    if sampler == "ld":
+        # Low-discrepancy pixel jitter: shared R2 point per sample index,
+        # rotated per pixel (Cranley-Patterson). The reference carried the
+        # same machinery unwired (Renderer.cpp:784-887); wiring it is an
+        # opt-in extension (cfg.sampler = "ld").
+        from gpupathtracer_tpu.math.sampling import (pixel_rotation,
+                                                     r2_sequence)
+        rot = pixel_rotation(pixel_y.astype(jnp.int32) * width
+                             + pixel_x.astype(jnp.int32))
+        jitter = jnp.mod(r2_sequence(jnp.asarray(sample_idx,
+                                                 jnp.int32))[None, :]
+                         + rot, 1.0)
+    else:
+        jitter = jax.random.uniform(k_jitter, (n, 2))
     interp = (jnp.stack([pixel_x, pixel_y], axis=-1) + jitter) \
         / jnp.array([width, height], jnp.float32)
     lens_u = jax.random.uniform(k_lens, (n, 2))
@@ -338,4 +353,4 @@ render_sample = partial(jax.jit, static_argnames=(
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
     "textured", "sun", "sun_mode", "sort_rays", "delta", "compaction",
-    "compaction_divs", "compaction_min"))(render_sample_impl)
+    "compaction_divs", "compaction_min", "sampler"))(render_sample_impl)

@@ -188,13 +188,16 @@ class Renderer:
         if integrator == "wavefront":
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled,
-                                 sort_rays=self.cfg.sort_rays, **kwargs)
+                                 sort_rays=self.cfg.sort_rays,
+                                 sampler=self.cfg.sampler,
+                                 sample_idx=self.num_samples, **kwargs)
         if integrator == "direct":
             # Real-time mode (BASELINE config 3): primary hit + emitter
             # visibility + NEE shadow rays; no continuation wavefront.
             kwargs["max_bounces"] = 0
             return render_sample(self.scene, self.camera, px, py, key,
-                                 nee=True, **kwargs)
+                                 nee=True, sampler=self.cfg.sampler,
+                                 sample_idx=self.num_samples, **kwargs)
         if integrator == "reference":
             kwargs.pop("delta", None)  # reference integrator: diffuse only
             kwargs.pop("sun_mode", None)  # reference: sun-on-miss only
