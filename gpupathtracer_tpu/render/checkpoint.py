@@ -20,13 +20,16 @@ import numpy as np
 
 def save_checkpoint(renderer, path: str) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(
-        path,
-        accum=np.asarray(renderer.accum),
-        num_samples=np.int64(renderer.num_samples),
-        seed=np.int64(renderer.cfg.seed),
-        config=np.frombuffer(renderer.cfg.to_json().encode(), np.uint8),
-    )
+    # Write through a handle: np.savez_compressed(path) silently appends
+    # ".npz" to extension-less paths, breaking resume-by-the-same-name.
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f,
+            accum=np.asarray(renderer.accum),
+            num_samples=np.int64(renderer.num_samples),
+            seed=np.int64(renderer.cfg.seed),
+            config=np.frombuffer(renderer.cfg.to_json().encode(), np.uint8),
+        )
     return path
 
 
