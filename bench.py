@@ -105,33 +105,45 @@ def main() -> None:
     print(f"# realtime direct 640x360: {rt_fps:.2f} fps", file=sys.stderr)
     extra["realtime_direct_fps"] = round(rt_fps, 2)
 
-    # --- table-scene direct FPS (the reference's real-time claims are on
-    # the table scene: 140 FPS RT / 60 FPS shadow rays / 45 FPS progressive
-    # on a GTX 980, README.md:22-29) ---------------------------------------
-    if not quick:
+    # --- the reference's other benchmark configs (BASELINE.md 1, 2) -------
+    # Config 2 = table accumulative path tracing + DoF (the scene of the
+    # 140/60/45 FPS reference claims, README.md:22-29); config 1 = bunny
+    # primary + shadow rays at 512x512.
+    def _proc_fps(scene, w, h, integrator, max_bounces):
         from gpupathtracer_tpu.config import CameraConfig, RenderConfig
         from gpupathtracer_tpu.scene.procedural import default_camera
-        tcfg = RenderConfig(scene_path="proc:table",
-                            skybox="GENERATE COLOR BLACK",
-                            width=800, height=600, integrator="direct",
-                            max_bounces=0, ray_chunk=1 << 21,
-                            cache_enabled=True)
-        pos, yaw, pitch, fov, aperture, focus = default_camera("proc:table")
-        tcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
-                                   fov=math.radians(fov), aspect=800 / 600,
-                                   aperture=aperture, focal_distance=focus)
-        rt2 = Renderer(tcfg)
-        rt2.render_frame(sync=True)
-        fps2 = []
+        c = RenderConfig(scene_path=scene, skybox="GENERATE COLOR BLACK",
+                         width=w, height=h, integrator=integrator,
+                         max_bounces=max_bounces, ray_chunk=1 << 21,
+                         cache_enabled=True)
+        pos, yaw, pitch, fov, aperture, focus = default_camera(scene)
+        c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                fov=math.radians(fov), aspect=w / h,
+                                aperture=aperture, focal_distance=focus)
+        rr = Renderer(c)
+        rr.render_frame(sync=True)
+        meds = []
         for _ in range(3):
             t0 = time.time()
             for i in range(4):
-                rt2.render_frame(sync=(i == 3))
-            fps2.append(4.0 / (time.time() - t0))
-        table_fps = statistics.median(fps2)
+                rr.render_frame(sync=(i == 3))
+            meds.append(4.0 / (time.time() - t0))
+        return statistics.median(meds)
+
+    if not quick:
+        table_fps = _proc_fps("proc:table", 800, 600, "direct", 0)
         print(f"# table direct 800x600: {table_fps:.2f} fps "
               f"(reference RT claims are on this scene)", file=sys.stderr)
         extra["table_direct_fps"] = round(table_fps, 2)
+        table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
+        print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
+              f"(reference: 45 fps progressive on a GTX 980)",
+              file=sys.stderr)
+        extra["table_pt_fps"] = round(table_pt, 2)
+        bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
+        print(f"# bunny direct 512x512 (config 1): {bunny_fps:.2f} fps",
+              file=sys.stderr)
+        extra["bunny_direct_fps"] = round(bunny_fps, 2)
 
     # --- time-to-256spp on the Salle-de-Bain-class scene ------------------
     if not quick:
