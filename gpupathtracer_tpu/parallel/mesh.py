@@ -43,30 +43,36 @@ def make_device_mesh(shape: Sequence[int],
 
 
 def render_sample_sharded(mesh: Mesh, scene, cam, pixel_x, pixel_y, key,
+                          sample_base=0,
                           **static) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one multi-chip frame.
 
     pixel_x/pixel_y are the FULL ray-ordered pixel arrays [N]; N must divide
-    evenly by the "pixels" axis size. Returns ([N, 3] radiance summed over
-    the samples axis, scalar rays traced across the mesh). Callers treat the
-    result as `samples_axis_size` accumulated samples.
+    evenly by the "pixels" axis size. sample_base is the frame's first
+    global sample index (each samples-axis device renders sample_base +
+    its axis position — the LD sampler needs distinct indices). Returns
+    ([N, 3] radiance summed over the samples axis, scalar rays traced
+    across the mesh). Callers treat the result as `samples_axis_size`
+    accumulated samples.
     """
     axis_names = mesh.axis_names
     has_samples = "samples" in axis_names
     pixel_spec = P("pixels") if "pixels" in axis_names else P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), pixel_spec, pixel_spec, P()),
+             in_specs=(P(), P(), pixel_spec, pixel_spec, P(), P()),
              out_specs=(pixel_spec, P()),
              check_vma=False)
-    def step(scene, cam, px, py, key):
+    def step(scene, cam, px, py, key, sample_base):
+        sidx = sample_base
         if has_samples:
             sample_idx = jax.lax.axis_index("samples")
             key = jax.random.fold_in(key, sample_idx)
+            sidx = sample_base + sample_idx
         if "pixels" in axis_names:
             key = jax.random.fold_in(key, jax.lax.axis_index("pixels") + 1311)
         contribution, rays = render_sample_impl(scene, cam, px, py, key,
-                                                **static)
+                                                sample_idx=sidx, **static)
         if has_samples:
             contribution = jax.lax.psum(contribution, "samples")
             rays = jax.lax.psum(rays, "samples")
@@ -74,4 +80,5 @@ def render_sample_sharded(mesh: Mesh, scene, cam, pixel_x, pixel_y, key,
             rays = jax.lax.psum(rays, "pixels")
         return contribution, rays
 
-    return step(scene, cam, pixel_x, pixel_y, key)
+    return step(scene, cam, pixel_x, pixel_y, key,
+                jnp.asarray(sample_base, jnp.int32))

@@ -156,7 +156,9 @@ class Renderer:
         from gpupathtracer_tpu.parallel import render_sample_sharded
         return render_sample_sharded(
             self.mesh, self.scene, self.camera, self.pixel_x, self.pixel_y,
-            key, width=self.pad_w, height=self.pad_h,
+            key, sample_base=self.num_samples,
+            sampler=self.cfg.sampler,
+            width=self.pad_w, height=self.pad_h,
             max_bounces=self.cfg.max_bounces,
             stack_depth=self.meta.stack_depth,
             leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,

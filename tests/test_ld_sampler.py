@@ -54,3 +54,19 @@ def test_ld_render_is_deterministic_and_finite():
     rc.render_frame("wavefront")
     rc.render_frame("wavefront")
     assert not np.array_equal(a, np.asarray(rc.accum))
+
+
+def test_ld_sharded_runs_and_is_deterministic():
+    import jax
+
+    cfg = _cfg("ld")
+    cfg.mesh_shape = (2, 2)
+    cfg.width = cfg.height = 16
+    cfg.ray_chunk = 256
+    ra = Renderer(cfg)
+    ra.render_frame("wavefront")
+    a = np.asarray(ra.accum)
+    assert np.isfinite(a).all() and a.max() > 0
+    rb = Renderer(cfg, scene=ra.scene, meta=ra.meta)
+    rb.render_frame("wavefront")
+    np.testing.assert_array_equal(a, np.asarray(rb.accum))
