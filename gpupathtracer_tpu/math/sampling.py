@@ -80,10 +80,13 @@ def r2_sequence(sample_idx):
 
     The generalized-golden-ratio sequence (Roberts 2018): the 2D analogue
     of the reference's 1D golden-ratio experiments (Renderer.cpp:784-812).
-    Returns [2] in [0,1)."""
-    g = 1.32471795724474602596  # plastic constant
-    a = jnp.asarray([1.0 / g, 1.0 / (g * g)], jnp.float32)
-    return jnp.mod((sample_idx.astype(jnp.float32) + 1.0) * a, 1.0)
+    Computed as a 32-bit integer additive recurrence (alphas scaled by
+    2^32; the natural uint32 wrap IS the mod): float32 multiply-mod loses
+    the fractional part past ~10^4 samples (24-bit mantissa), integers
+    never do. Returns [2] in [0,1)."""
+    a = jnp.asarray([3242174889, 2447445413], jnp.uint32)  # 2^32/g, 2^32/g^2
+    s = sample_idx.astype(jnp.uint32) + jnp.uint32(1)
+    return (s * a).astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
 
 
 def pixel_rotation(pixel_ids):
