@@ -76,6 +76,8 @@ def main() -> None:
     ap.add_argument("--fanout", type=int, default=4)
     ap.add_argument("--multi-pop", type=int, default=1,
                     help="entries retired per kernel iteration (packet mode)")
+    ap.add_argument("--leaf", type=int, default=0,
+                    help="override builder leaf_size (0 = config default)")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +99,8 @@ def main() -> None:
 
     cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
                        width=64, height=64, cache_enabled=True)
+    if args.leaf:
+        cfg.leaf_size = args.leaf
     scene, meta = load_scene(cfg)
     rows = scene.bvh.node_rows
     print(f"# {args.scene}: rows={rows.shape} "
