@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Headline-frame cost bisection (PERF.md frame decomposition).
+
+Renders the bench config with estimator stages toggled off to attribute
+frame time; run on the TPU. Extend with more frame() variants as needed."""
+import sys, math, time, statistics
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
+from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+from gpupathtracer_tpu.render import Renderer
+from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
+def frame(label, **kw):
+    w, h = 1920, 1080
+    cfg = RenderConfig(scene_path="proc:sponza", skybox="GENERATE COLOR BLACK",
+                       width=w, height=h, integrator="wavefront",
+                       max_bounces=64, ray_chunk=1 << 21, cache_enabled=True,
+                       **kw)
+    cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0), yaw=math.pi/2,
+                              pitch=-0.05, fov=math.radians(60), aspect=w/h)
+    r = Renderer(cfg)
+    r.render_frame(sync=True)
+    meds = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(3):
+            r.render_frame(sync=(i == 2))
+        meds.append((time.time() - t0) / 3)
+    m = statistics.median(meds)
+    print(f"{label}: {m:.3f} s/frame", flush=True)
+    return m
+
+full = frame("full (nee on)    ")
+nonee = frame("nee off          ", nee_enabled=False)
+print(f"NEE share (shadow rays + light sampling): {full-nonee:.3f} s")
