@@ -122,36 +122,44 @@ def load_obj(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
         return idx
 
     with open(path, errors="replace") as f:
-        for raw in f:
+        for lineno, raw in enumerate(f, 1):
             line = raw.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
             key = parts[0]
-            if key == "v":
-                positions.append(tuple(float(x) for x in parts[1:4]))
-            elif key == "vt":
-                texcoords.append(tuple(float(x) for x in parts[1:3]))
-            elif key == "vn":
-                normals.append(tuple(float(x) for x in parts[1:4]))
-            elif key == "mtllib":
-                mtl_path = os.path.join(folder, " ".join(parts[1:]))
-                if os.path.exists(mtl_path):
-                    mtl_lib.update(load_mtl(mtl_path))
-            elif key == "usemtl":
-                name = " ".join(parts[1:])
-                if name not in mat_index_by_name:
-                    desc = mtl_lib.get(name, MaterialDesc(name=name))
-                    materials.append(desc)
-                    mat_index_by_name[name] = len(materials) - 1
-                cur_mat = mat_index_by_name[name]
-            elif key == "f":
-                mat = cur_mat if cur_mat >= 0 else get_default_mat()
-                ids = [corner(tok, mat) for tok in parts[1:]]
-                # Fan triangulation (the reference earcuts concave polygons,
-                # Scene.cpp:28; fans match for the convex faces in our corpus).
-                for i in range(1, len(ids) - 1):
-                    out_tris.append((ids[0], ids[i], ids[i + 1]))
+            try:
+                if key == "v":
+                    positions.append((float(parts[1]), float(parts[2]),
+                                      float(parts[3])))
+                elif key == "vt":
+                    texcoords.append((float(parts[1]), float(parts[2])))
+                elif key == "vn":
+                    normals.append((float(parts[1]), float(parts[2]),
+                                    float(parts[3])))
+                elif key == "mtllib":
+                    mtl_path = os.path.join(folder, " ".join(parts[1:]))
+                    if os.path.exists(mtl_path):
+                        mtl_lib.update(load_mtl(mtl_path))
+                elif key == "usemtl":
+                    name = " ".join(parts[1:])
+                    if name not in mat_index_by_name:
+                        desc = mtl_lib.get(name, MaterialDesc(name=name))
+                        materials.append(desc)
+                        mat_index_by_name[name] = len(materials) - 1
+                    cur_mat = mat_index_by_name[name]
+                elif key == "f":
+                    mat = cur_mat if cur_mat >= 0 else get_default_mat()
+                    ids = [corner(tok, mat) for tok in parts[1:]]
+                    # Fan triangulation (the reference earcuts concave
+                    # polygons, Scene.cpp:28; fans match for the convex
+                    # faces in our corpus).
+                    for i in range(1, len(ids) - 1):
+                        out_tris.append((ids[0], ids[i], ids[i + 1]))
+            except (ValueError, IndexError) as e:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed OBJ statement "
+                    f"{line!r} ({e})") from e
 
     mesh = MeshData(
         positions=np.asarray(out_pos, np.float32).reshape(-1, 3),

@@ -101,3 +101,14 @@ def test_geometric_normal_flipped_to_vertex_normals(tmp_path):
     # Face 0 (quad tri) has authored vn (0,0,1); geometric normal of
     # (0,0,0),(1,0,0),(1,1,0) is +z already: must agree.
     np.testing.assert_allclose(soup.normal[0], [0, 0, 1], atol=1e-6)
+
+
+def test_malformed_obj_raises_with_line_context(tmp_path):
+    """Failure detection (SURVEY §5): parse errors carry file:line."""
+    import pytest
+    for content in ("v 0 0\nf 1 2\n", "v a b c\n",
+                    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 9\n"):
+        p = tmp_path / "bad.obj"
+        p.write_text(content)
+        with pytest.raises(ValueError, match=r"bad\.obj:\d+"):
+            load_obj(str(p))
