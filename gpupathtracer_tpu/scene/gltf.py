@@ -112,6 +112,18 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 
 def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
+    try:
+        return _load_gltf_impl(path)
+    except (KeyError, IndexError, ValueError, struct.error,
+            json.JSONDecodeError) as e:
+        if isinstance(e, ValueError) and str(e).startswith(path):
+            raise  # already contextual
+        raise ValueError(
+            f"{path}: invalid or unsupported glTF ({type(e).__name__}: "
+            f"{e})") from e
+
+
+def _load_gltf_impl(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
     folder = os.path.dirname(os.path.abspath(path))
     if path.lower().endswith(".glb"):
         gltf, glb_bin = _load_glb(path)
@@ -223,5 +235,8 @@ def load_gltf(path: str) -> Tuple[MeshData, List[MaterialDesc]]:
     if not meshes:  # no scene graph: flatten all meshes
         for i in range(len(gltf.get("meshes", []))):
             emit(i, np.eye(4))
+    if not meshes:
+        raise ValueError(f"{path}: glTF document contains no mesh "
+                         "primitives")
 
     return merge_meshes(meshes), materials

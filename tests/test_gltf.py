@@ -157,3 +157,29 @@ def test_direct_integrator_smoke():
     img = r.film_hdr()
     assert np.isfinite(img).all()
     assert img.max() > 0.2  # direct lighting present
+
+
+def test_malformed_gltf_raises_with_context(tmp_path):
+    """Failure detection (SURVEY §5): glTF parse errors name the file."""
+    import json as _json
+
+    import pytest
+
+    from gpupathtracer_tpu.scene.gltf import load_gltf
+    cases = [
+        "hello{",
+        "{}",
+        _json.dumps({"asset": {"version": "2.0"},
+                     "meshes": [{"primitives":
+                                 [{"attributes": {"POSITION": 99}}]}],
+                     "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}]}),
+    ]
+    for content in cases:
+        p = tmp_path / "bad.gltf"
+        p.write_text(content)
+        with pytest.raises(ValueError, match=r"bad\.gltf"):
+            load_gltf(str(p))
+    g = tmp_path / "bad.glb"
+    g.write_bytes(b"glTF\x02\x00\x00\x00\x10\x00")
+    with pytest.raises(ValueError, match=r"bad\.glb"):
+        load_gltf(str(g))
