@@ -80,17 +80,30 @@ def main() -> None:
     t0 = time.time()
     r.render_frame(sync=True)
     first_s = time.time() - t0
-    print(f"# first frame (incl. compile): {first_s:.1f}s", file=sys.stderr)
+    print(f"# first frame (incl. whatever compile the persistent cache "
+          f"missed): {first_s:.1f}s", file=sys.stderr)
 
     med_t, med_rays, spread = _timed_batches(r, n_frames=2 if quick else 3,
                                              reps=3)
     mrays = med_rays / med_t / 1e6
     print(f"# sponza {width}x{height}: median frame {med_t:.3f}s "
           f"(spread {spread:.1%}), {mrays:.2f} Mrays/s", file=sys.stderr)
+
+    # Warm-start first frame (VERDICT r2): a fresh Renderer on the same
+    # config, every compile now cached — the first frame a user sees on a
+    # warmed install. The number above is the cold/cache-miss path.
+    t0 = time.time()
+    r_warm = Renderer(_sponza_cfg(width, height))
+    r_warm.render_frame(sync=True)
+    first_warm_s = time.time() - t0
+    del r_warm
+    print(f"# first frame (warm cache, incl. renderer init): "
+          f"{first_warm_s:.1f}s", file=sys.stderr)
     extra["sponza"] = {"res": f"{width}x{height}",
                        "median_frame_s": round(med_t, 4),
                        "spread": round(spread, 4),
-                       "first_frame_s": round(first_s, 2)}
+                       "first_frame_s": round(first_s, 2),
+                       "first_frame_warm_s": round(first_warm_s, 2)}
 
     # --- real-time demo: 640x360 direct integrator ------------------------
     rt = Renderer(_sponza_cfg(640, 360, integrator="direct", max_bounces=1))
@@ -109,13 +122,13 @@ def main() -> None:
     # Config 2 = table accumulative path tracing + DoF (the scene of the
     # 140/60/45 FPS reference claims, README.md:22-29); config 1 = bunny
     # primary + shadow rays at 512x512.
-    def _proc_fps(scene, w, h, integrator, max_bounces):
+    def _proc_fps(scene, w, h, integrator, max_bounces, frame_batch=1):
         from gpupathtracer_tpu.config import CameraConfig, RenderConfig
         from gpupathtracer_tpu.scene.procedural import default_camera
         c = RenderConfig(scene_path=scene, skybox="GENERATE COLOR BLACK",
                          width=w, height=h, integrator=integrator,
                          max_bounces=max_bounces, ray_chunk=1 << 21,
-                         cache_enabled=True)
+                         cache_enabled=True, frame_batch=frame_batch)
         pos, yaw, pitch, fov, aperture, focus = default_camera(scene)
         c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
                                 fov=math.radians(fov), aspect=w / h,
@@ -127,7 +140,7 @@ def main() -> None:
             t0 = time.time()
             for i in range(4):
                 rr.render_frame(sync=(i == 3))
-            meds.append(4.0 / (time.time() - t0))
+            meds.append(4.0 * frame_batch / (time.time() - t0))
         return statistics.median(meds)
 
     if not quick:
@@ -135,6 +148,13 @@ def main() -> None:
         print(f"# table direct 800x600: {table_fps:.2f} fps "
               f"(reference RT claims are on this scene)", file=sys.stderr)
         extra["table_direct_fps"] = round(table_fps, 2)
+        # Multi-sample batching (8 spp/dispatch): amortizes the ~3.5 ms
+        # dispatch overhead; reported as accumulated spp/s.
+        table_spp = _proc_fps("proc:table", 800, 600, "direct", 0,
+                              frame_batch=8)
+        print(f"# table direct 800x600 batched x8: {table_spp:.2f} spp/s",
+              file=sys.stderr)
+        extra["table_direct_batched_spp_s"] = round(table_spp, 2)
         table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
         print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
               f"(reference: 45 fps progressive on a GTX 980)",
@@ -168,9 +188,35 @@ def main() -> None:
             rb.render_frame(sync=(i == spp - 1))
         bath_s = time.time() - t0
         print(f"# bathroom {bw}x{bh} {spp}spp: {bath_s:.1f}s "
-              f"(target < 60s)", file=sys.stderr)
+              f"(REDUCED fidelity: BASELINE.md's <60 s target is "
+              f"1024 spp @ 1280x720 — see bathroom_1024spp_720p_s)",
+              file=sys.stderr)
         extra["bathroom_256spp_s"] = round(bath_s, 1)
         extra["bathroom_res"] = f"{bw}x{bh}"
+
+        # Config 4 at the reference's own fidelity (README.md:45-46 +
+        # Program.cpp:22-23): 1280x720, 1024 spp, whatever it costs.
+        fw, fh = 1280, 720
+        fcfg = RenderConfig(scene_path="proc:bathroom",
+                            skybox="GENERATE COLOR BLACK",
+                            width=fw, height=fh, integrator="wavefront",
+                            max_bounces=64, ray_chunk=1 << 21,
+                            cache_enabled=True)
+        fcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                   fov=math.radians(fov), aspect=fw / fh,
+                                   aperture=aperture, focal_distance=focus)
+        rf = Renderer(fcfg)
+        rf.render_frame(sync=True)
+        rf.reset_samples()
+        spp = 1024
+        t0 = time.time()
+        for i in range(spp):
+            rf.render_frame(sync=(i % 256 == 255))
+        bath_full_s = time.time() - t0
+        print(f"# bathroom {fw}x{fh} {spp}spp (reference fidelity): "
+              f"{bath_full_s:.1f}s (reference: ~60 s on a GTX 980)",
+              file=sys.stderr)
+        extra["bathroom_1024spp_720p_s"] = round(bath_full_s, 1)
 
     print(json.dumps({
         "metric": "mrays_per_sec_sponza_1080p",

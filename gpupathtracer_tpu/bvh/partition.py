@@ -1,0 +1,158 @@
+"""Scene partitioning for multi-chip traversal — chips own subtrees.
+
+The pixel/sample-sharded mesh path (parallel/mesh.py) replicates the scene
+per chip: it scales samples, not scene size or incoherent throughput. This
+module implements the other axis — the pod-scale architecture where each
+chip pins ONE subtree's merged row table in VMEM and rays MIGRATE between
+chips (parallel/partition.py rotates ray shards around the ICI ring with
+`ppermute`). Motivation from the measured scaling curve (PERF.md): packet
+traversal beats the 100 Mrays/s target outright once the resident table is
+a few hundred rows — D chips give D-fold smaller resident trees exactly
+where the single-chip kernel collapses.
+
+Partition construction (host, numpy):
+  1. Cut the wide tree into >= D subtree roots by greedy surface area
+     (bvh/treelet.py machinery with target = num_devices).
+  2. Pack the cut entries into exactly D balanced groups (LPT by reachable
+     row count).
+  3. For each group, extract the reachable rows into a compact local table
+     headed by a synthetic root row whose children are the group's cut
+     entries — the unmodified Pallas kernel then traverses the local
+     subtree starting at entry 0, same as any whole-tree table.
+
+The reference has no counterpart (single GPU); its only scaling axis is
+the dispatch grid (src/core/Renderer.cpp:660). This is the TPU-native
+replacement designed for ICI: static shapes, no demand-dependent
+exchanges, bandwidth = rays * bytes/ray per hop (cost model in PERF.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from gpupathtracer_tpu.bvh.treelet import build_treelet_cut
+from gpupathtracer_tpu.bvh.types import INVALID_ENTRY
+
+
+class Partition(NamedTuple):
+    """Device-sharded traversal tables (numpy; shard leading axis over the
+    mesh device axis)."""
+
+    tables: np.ndarray      # [D, M', 128] f32 per-device merged row tables
+    dev_bounds: np.ndarray  # [D, 6] f32 union AABB of each device's forest
+    num_rows: np.ndarray    # [D] i32 live rows per device (<= M')
+
+
+def _collect_rows(entry: int, entry_all: np.ndarray, W: int,
+                  rows_out: list, seen: set):
+    """DFS from one cut entry, appending reachable row ids (node rows and
+    leaf rows share the merged-table index space)."""
+    stack = [int(entry)]
+    while stack:
+        e = stack.pop()
+        if e < 0:
+            packed = -(e + 1)
+            row = packed >> 4
+            if row not in seen:
+                seen.add(row)
+                rows_out.append(row)
+            continue
+        if e in seen:
+            continue
+        seen.add(e)
+        rows_out.append(e)
+        for j in range(8):
+            c = int(entry_all[e, j])
+            if c != INVALID_ENTRY:
+                stack.append(c)
+
+
+def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
+                    num_devices: int) -> Partition:
+    """Split the merged table into `num_devices` compact local tables."""
+    D = int(num_devices)
+    W = int(num_wide_nodes)
+    entry_all = node_rows[:W, 48:56].copy().view(np.int32)
+
+    cut_entry, cut_bounds = build_treelet_cut(node_rows, W, target=D)
+    C = len(cut_entry)
+
+    # Reachable row count per cut entry (for balancing).
+    sub_rows = []
+    for e in cut_entry:
+        rows, seen = [], set()
+        _collect_rows(int(e), entry_all, W, rows, seen)
+        sub_rows.append(rows)
+
+    # LPT bin packing into D groups, capped at 8 roots per group (one
+    # synthetic root row holds at most 8 children).
+    order = np.argsort([-len(r) for r in sub_rows])
+    group_of = [[] for _ in range(D)]
+    load = [0] * D
+    for i in order:
+        cands = sorted(range(D), key=lambda g: load[g])
+        g = next((g for g in cands if len(group_of[g]) < 8), cands[0])
+        group_of[g].append(int(i))
+        load[g] += len(sub_rows[i])
+
+    # Build each device's table: synthetic root + remapped reachable rows.
+    locals_ = []
+    dev_bounds = np.zeros((D, 6), np.float32)
+    num_rows = np.zeros((D,), np.int32)
+    for g in range(D):
+        members = group_of[g]
+        rows = []
+        for i in members:
+            rows.extend(sub_rows[i])
+        rows = list(dict.fromkeys(rows))  # stable unique
+        remap = {old: new + 1 for new, old in enumerate(rows)}  # 0 = root
+        table = np.zeros((1 + len(rows), 128), node_rows.dtype)
+        # Synthetic root row: bounds/entries of the group's cut entries.
+        rootb = np.zeros((8, 6), np.float32)
+        rootb[:, 0:3] = np.inf   # empty slots: inverted box, never hits
+        rootb[:, 3:6] = -np.inf
+        roote = np.full((8,), INVALID_ENTRY, np.int32)
+
+        def _remap_entry(e: int) -> int:
+            if e < 0:
+                packed = -(e + 1)
+                return -((remap[packed >> 4] << 4) | (packed & 15)) - 1
+            return remap[e]
+
+        for j, i in enumerate(members):
+            rootb[j] = cut_bounds[i]
+            roote[j] = _remap_entry(int(cut_entry[i]))
+        table[0, 0:48] = rootb.reshape(-1)
+        table[0, 48:56] = roote.view(np.float32)
+        for old in rows:
+            new = remap[old]
+            table[new] = node_rows[old]
+            if old < W:  # node row: rewrite child entries
+                ent = table[new, 48:56].copy().view(np.int32)
+                for j in range(8):
+                    if ent[j] != INVALID_ENTRY:
+                        ent[j] = _remap_entry(int(ent[j]))
+                table[new, 48:56] = ent.view(np.float32)
+        locals_.append(table)
+        num_rows[g] = table.shape[0]
+        if members:
+            dev_bounds[g, 0:3] = cut_bounds[members][:, 0:3].min(0)
+            dev_bounds[g, 3:6] = cut_bounds[members][:, 3:6].max(0)
+        else:
+            # Empty device (tiny scene): a far-away point box whose slab
+            # entry always exceeds t_max, so no ray ever routes here. (An
+            # inverted +-inf box would HIT under the per-axis min/max slab
+            # formulation; empty child slots get away with it only because
+            # their INVALID entries are filtered after the slab test.)
+            dev_bounds[g, 0:3] = 1e30
+            dev_bounds[g, 3:6] = 1e30
+
+    Mp = max(t.shape[0] for t in locals_)
+    Mp = max(Mp, 2)
+    tables = np.zeros((D, Mp, 128), node_rows.dtype)
+    for g, t in enumerate(locals_):
+        tables[g, :t.shape[0]] = t
+    return Partition(tables=tables, dev_bounds=dev_bounds,
+                     num_rows=num_rows)

@@ -61,6 +61,9 @@ def build_config(args) -> "RenderConfig":
     cfg.cache_enabled = not args.no_cache
     cfg.bvh_builder = args.bvh_builder
     cfg.sampler = args.sampler
+    cfg.frame_batch = args.frame_batch
+    cfg.shadow_rev = args.shadow_rev
+    cfg.bounce_traversal = args.bounce_traversal
     if args.chunk:
         cfg.ray_chunk = args.chunk
     return cfg
@@ -92,6 +95,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-tonemap", action="store_true")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frame-batch", type=int, default=1,
+                   help="samples accumulated per dispatch (realtime knob)")
+    p.add_argument("--shadow-rev", action="store_true",
+                   help="trace NEE shadow rays from the light end")
+    p.add_argument("--bounce-traversal", default="auto",
+                   help="bounce-ray traversal override: auto|same|tsort|"
+                        "treelet|...")
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="pixel jitter: threefry or R2 low-discrepancy")
     p.add_argument("--exposure", type=float, default=1.68)

@@ -74,8 +74,10 @@ class RenderConfig:
     force_leaf: bool = True                # pack leaves to leaf_size unconditionally
     traversal: str = "auto"                # "auto" | "pallas" (on-core kernel) | "packet" | "perray"
     bounce_traversal: str = "auto"         # bounce-ray override: "auto" | "same" | "treelet" | any traversal name
-    treelet_min: int = 1 << 15             # min wavefront width for treelet binning
+    treelet_min: int = 1 << 15             # min wavefront width for treelet binning/sorting
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
+    shadow_rev: bool = False               # trace NEE shadow rays from the light end
+    frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet

@@ -83,10 +83,13 @@ def r2_sequence(sample_idx):
     Computed as a 32-bit integer additive recurrence (alphas scaled by
     2^32; the natural uint32 wrap IS the mod): float32 multiply-mod loses
     the fractional part past ~10^4 samples (24-bit mantissa), integers
-    never do. Returns [2] in [0,1)."""
+    never do. The uint32 is truncated to its top 24 bits before the float
+    conversion — values >= 2^32-128 would otherwise round UP to exactly
+    1.0, violating the [0,1) contract (24-bit ints are exact in float32).
+    Returns [2] in [0,1)."""
     a = jnp.asarray([3242174889, 2447445413], jnp.uint32)  # 2^32/g, 2^32/g^2
     s = sample_idx.astype(jnp.uint32) + jnp.uint32(1)
-    return (s * a).astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return ((s * a) >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 def pixel_rotation(pixel_ids):
@@ -105,9 +108,10 @@ def pixel_rotation(pixel_ids):
 
     h1 = h(x)
     h2 = h(x ^ jnp.uint32(0x9E3779B9))
-    scale = jnp.float32(1.0 / 4294967296.0)
-    return jnp.stack([h1.astype(jnp.float32) * scale,
-                      h2.astype(jnp.float32) * scale], axis=-1)
+    # Top 24 bits only: exact in float32, guarantees [0,1) (see r2_sequence).
+    scale = jnp.float32(1.0 / 16777216.0)
+    return jnp.stack([(h1 >> 8).astype(jnp.float32) * scale,
+                      (h2 >> 8).astype(jnp.float32) * scale], axis=-1)
 
 
 def van_der_corput(i, base: int = 2, bits: int = 24):

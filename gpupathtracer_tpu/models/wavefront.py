@@ -57,6 +57,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        sun: bool = False,
                        sun_mode: str = "disk",
                        sort_rays: bool = False,
+                       shadow_rev: bool = False,
                        delta: bool = False,
                        compaction: bool = True,
                        compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
@@ -214,11 +215,26 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
                                        model, sun=sun, sun_mode=sun_mode,
                                        u_pick=rnd[:, 7])
-            occluded = trace_occluded(scene, ls.shadow_origin, ls.shadow_dir,
-                                      ls.shadow_tmax, alive,
+            so, sd, st_ = ls.shadow_origin, ls.shadow_dir, ls.shadow_tmax
+            if shadow_rev:
+                # Occlusion is segment-symmetric: trace from the LIGHT end
+                # toward the surface. Shadow-ray origins then cluster at
+                # the emitters (a "light camera"), the coherent regime
+                # where the any-hit kernel runs ~9x faster (PERF.md
+                # any-hit sweep: 42.8 coherent vs 4.96 incoherent).
+                # Finite segments only (sun rays keep the forward form).
+                finite = st_ < 1e19
+                so = jnp.where(finite[:, None], so + sd * st_[:, None], so)
+                sd = jnp.where(finite[:, None], -sd, sd)
+            # Shadow rays keep the PRIMARY traversal even when a bounce
+            # override (tsort/treelet) is active: reversed shadow rays are
+            # coherent, and the any-hit kernel is already ~3x faster than
+            # closest-hit on incoherent rays, so the sort overhead does
+            # not amortize there (PERF.md round 3).
+            occluded = trace_occluded(scene, so, sd, st_, alive,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
-                                      traversal=trav,
+                                      traversal=traversal,
                                       packet_size=packet_size)
             # Delta surfaces have zero BSDF toward any sampled light point.
             contribution = contribution + jnp.where(
@@ -349,8 +365,37 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     return total, c.rays
 
 
-render_sample = partial(jax.jit, static_argnames=(
+_STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
-    "textured", "sun", "sun_mode", "sort_rays", "delta", "compaction",
-    "compaction_divs", "compaction_min", "sampler"))(render_sample_impl)
+    "textured", "sun", "sun_mode", "sort_rays", "shadow_rev", "delta",
+    "compaction", "compaction_divs", "compaction_min", "sampler")
+
+render_sample = partial(jax.jit, static_argnames=_STATICS)(
+    render_sample_impl)
+
+
+@partial(jax.jit, static_argnames=_STATICS + ("spp",))
+def render_sample_batch(scene, cam, pixel_x, pixel_y, key, spp: int = 1,
+                        sample_idx=0, **statics):
+    """spp samples per pixel in ONE dispatch (fori_loop over samples).
+
+    Amortizes the ~3.5 ms per-dispatch overhead that dominates low-
+    resolution real-time frames (TODO r2 / VERDICT r2 #4) — the role of
+    the reference presenting every 1-spp dispatch is traded for spp/s.
+    RNG: sample i uses fold_in(key, i) and LD index sample_idx + i, so a
+    batch of spp frames and spp separate frames draw from the same
+    per-sample streams (not bitwise-identical to the unbatched path,
+    which folds the frame key from the accumulated sample count).
+    """
+    n = pixel_x.shape[0]
+
+    def body(i, carry):
+        acc, rays = carry
+        c, r = render_sample_impl(scene, cam, pixel_x, pixel_y,
+                                  jax.random.fold_in(key, i),
+                                  sample_idx=sample_idx + i, **statics)
+        return acc + c, rays + r
+
+    return jax.lax.fori_loop(
+        0, spp, body, (jnp.zeros((n, 3), jnp.float32), jnp.int32(0)))

@@ -301,6 +301,8 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
         ctr_ref = stats_out[1]
         ctr_ref[0] = 0
         ctr_ref[1] = 0
+        ctr_ref[2] = 0  # stack-overflow events (pushes clamped at the top)
+
     any_active = ((jnp.sum(act_ref[...].astype(jnp.int32)) > 0)
                   & (root != _INVALID))
 
@@ -425,6 +427,13 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 pushed = k < jnp.inf
                 idx = jnp.minimum(new_sp, stack_depth - 1)
                 stack[idx] = jnp.where(pushed, centry, stack[idx])
+                if stats_out is not None:
+                    # Q-pop's depth bound is the single-pop analytic bound
+                    # scaled by Q (LIFO pops keep at most Q concurrent DFS
+                    # branches); latch any clamped push so silent hit loss
+                    # is visible in the A/B harness (ADVICE r2).
+                    ctr_ref[2] = ctr_ref[2] + jnp.where(
+                        pushed & (new_sp >= stack_depth), 1, 0)
                 new_sp = new_sp + jnp.where(pushed, 1, 0)
 
         # ---- leaf Moller-Trumbore for ALL pops (masked, chained) ---------
@@ -483,27 +492,261 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     if stats_out is not None:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
+                             + jnp.where(lane == 1, ctr_ref[1], 0)
+                             + jnp.where(lane == 2, ctr_ref[2], 0))
+
+
+def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
+                rows_ref,
+                t_out, prim_out, u_out, v_out, stats_out,
+                stack, sp_ref, kbuf, rowbuf, sem,
+                *, stack_depth: int, leaf_size: int, any_hit: bool,
+                table_in_vmem: bool, ordered: bool, interleave: int):
+    """W = interleave independent FULL-SIZE packets co-scheduled per grid
+    step, one branched pop each per iteration.
+
+    Why this beats both prior attempts (PERF.md): the single-pop kernel's
+    460 ns is the serial pop->vector->sync->push latency chain with the VPU
+    ~50% idle at G=16; multi_pop overlapped Q pops of the SAME packet but
+    had to issue BOTH phases' vector work unconditionally (VPU saturation),
+    and the sub-packet kernel reached ~190 ns/pop but paid 2.3x more pops
+    from 128-ray unions. Here each packet keeps the full-K union sharing
+    AND each pop issues only its own phase (pl.when branches); the node
+    phase is split into two regions — slab tests writing the 8 child keys
+    to a VMEM scratch, then a separate sync+push region — so the scalar
+    core issues ALL W packets' vector work before the first key extract
+    stalls on it. Independent chains overlap; the VPU fills up.
+
+    Layouts: o/d/inv [W, 3, G, 128]; tmax/act/outs [W, G, 128];
+    stack SMEM (W, D); sp_ref SMEM (W,); kbuf VMEM (8*W, 1) f32;
+    rowbuf VMEM (max(2, W), 128); sem DMA (max(2, W),).
+    """
+    W = interleave
+    G = o_ref.shape[2]
+
+    t_out[...] = tmax_ref[...]
+    prim_out[...] = jnp.full((W, G, LANES), -1, jnp.int32)
+    u_out[...] = jnp.zeros((W, G, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((W, G, LANES), jnp.float32)
+
+    if stats_out is not None:
+        ctr_ref = stats_out[1]
+        ctr_ref[0] = 0  # node pops (all W packets)
+        ctr_ref[1] = 0  # leaf pops
+
+    total0 = jnp.int32(0)
+    for w in range(W):
+        root = root_ref[pl.program_id(0) * W + w]
+        stack[w, 0] = root
+        act_w = jnp.sum(act_ref[w].astype(jnp.int32)) > 0
+        on = ((act_w & (root != _INVALID))).astype(jnp.int32)
+        sp_ref[w] = on
+        total0 = total0 + on
+
+    def body(total):
+        del total
+        haves, leafs, packeds, ridxs = [], [], [], []
+        n_node = jnp.int32(0)
+        n_leaf = jnp.int32(0)
+        for w in range(W):
+            sp = sp_ref[w]
+            have = sp > 0
+            top = jnp.maximum(sp - 1, 0)
+            entry = stack[w, top]
+            sp_ref[w] = jnp.where(have, sp - 1, sp)
+            is_leaf = have & (entry < 0)
+            is_node = have & (entry >= 0)
+            packed = jnp.where(is_leaf, -(entry + 1), 0)
+            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            haves.append(have)
+            leafs.append(is_leaf)
+            packeds.append(packed)
+            ridxs.append(jnp.where(have, ridx, 0))
+            n_node = n_node + is_node.astype(jnp.int32)
+            n_leaf = n_leaf + is_leaf.astype(jnp.int32)
+        if stats_out is not None:
+            ctr_ref[0] = ctr_ref[0] + n_node
+            ctr_ref[1] = ctr_ref[1] + n_leaf
+
+        # Fetch all W rows up front (VMEM dynamic slices are cheap; the
+        # HBM fallback overlaps the W DMAs before the first wait).
+        rows_w = []
+        if table_in_vmem:
+            for w in range(W):
+                rows_w.append(rows_ref[pl.ds(ridxs[w], 1), :])
+        else:
+            cps = []
+            for w in range(W):
+                cp = pltpu.make_async_copy(rows_ref.at[pl.ds(ridxs[w], 1)],
+                                           rowbuf.at[pl.ds(w, 1)],
+                                           sem.at[w])
+                cp.start()
+                cps.append(cp)
+            for w, cp in enumerate(cps):
+                cp.wait()
+                rows_w.append(rowbuf[pl.ds(w, 1), :])
+
+        views = []
+        for w in range(W):
+            row = rows_w[w]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
+            views.append((row, row_i, rowG))
+
+        # ---- region A: per-packet vector work (no scalar syncs) ----------
+        for w in range(W):
+            _, row_i, rowG = views[w]
+
+            def bv(l, rowG=rowG):
+                return rowG[:, l:l + 1]
+
+            @pl.when(haves[w] & jnp.logical_not(leafs[w]))
+            def _(w=w, bv=bv, row_i=row_i):
+                o = o_ref[w]
+                inv = inv_ref[w]
+                act = act_ref[w]
+                on = act & (prim_out[w] < 0) if any_hit else act
+                t_cur = t_out[w]
+                oi = [o[a] * inv[a] for a in range(3)]
+                hits, tmins = [], []
+                for j in range(8):
+                    tmin = None
+                    tmax_ = None
+                    for a in range(3):
+                        lo = bv(j * 6 + a)
+                        hi = bv(j * 6 + 3 + a)
+                        t0 = lo * inv[a] - oi[a]
+                        t1 = hi * inv[a] - oi[a]
+                        lo_t = jnp.minimum(t0, t1)
+                        hi_t = jnp.maximum(t0, t1)
+                        tmin = (lo_t if tmin is None
+                                else jnp.maximum(tmin, lo_t))
+                        tmax_ = (hi_t if tmax_ is None
+                                 else jnp.minimum(tmax_, hi_t))
+                    hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                                & (tmin < t_cur) & on)
+                    tmins.append(tmin)
+                h8 = jnp.stack(hits)                       # [8, G, 128]
+                t8 = jnp.stack(tmins)
+                keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                               axis=1, keepdims=True)      # [8, 1]
+                kbuf[pl.ds(w * 8, 8), :] = keyv
+
+            @pl.when(leafs[w])
+            def _(w=w, bv=bv, row_i=row_i, packed=packeds[w]):
+                o = o_ref[w]
+                d = d_ref[w]
+                act = act_ref[w]
+                on = act & (prim_out[w] < 0) if any_hit else act
+                count = packed & 15
+                t_c = t_out[w]
+                prim_c = prim_out[w]
+                u_c = u_out[w]
+                v_c = v_out[w]
+                for k in range(leaf_size):
+                    b = k * 12
+                    p0 = [bv(b + a) for a in range(3)]
+                    e1 = [bv(b + 3 + a) for a in range(3)]
+                    e2 = [bv(b + 6 + a) for a in range(3)]
+                    pid = jax.lax.bitcast_convert_type(bv(b + 9), jnp.int32)
+                    px = d[1] * e2[2] - d[2] * e2[1]
+                    py = d[2] * e2[0] - d[0] * e2[2]
+                    pz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    idet = 1.0 / det
+                    tx = o[0] - p0[0]
+                    ty = o[1] - p0[1]
+                    tz = o[2] - p0[2]
+                    uu = (tx * px + ty * py + tz * pz) * idet
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
+                          & on & (k < count))
+                    t_c = jnp.where(ok, tt, t_c)
+                    prim_c = jnp.where(ok, pid, prim_c)
+                    u_c = jnp.where(ok, uu, u_c)
+                    v_c = jnp.where(ok, vv, v_c)
+                t_out[w] = t_c
+                prim_out[w] = prim_c
+                u_out[w] = u_c
+                v_out[w] = v_c
+
+        # ---- region B: per-packet scalar sync + push ---------------------
+        for w in range(W):
+            _, row_i, _ = views[w]
+
+            @pl.when(haves[w] & jnp.logical_not(leafs[w]))
+            def _(w=w, row_i=row_i):
+                pairs = []
+                for j in range(8):
+                    centry = row_i[0, 48 + j]
+                    k = kbuf[w * 8 + j, 0]
+                    k = jnp.where(centry == _INVALID, jnp.inf, k)
+                    pairs.append((k, centry))
+                if ordered:
+                    net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                           (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                           (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                           (3, 4)]
+                    for a, b in net:
+                        ka, ea = pairs[a]
+                        kb, eb = pairs[b]
+                        swap = ka < kb  # descending: nearest pushed last
+                        pairs[a] = (jnp.where(swap, kb, ka),
+                                    jnp.where(swap, eb, ea))
+                        pairs[b] = (jnp.where(swap, ka, kb),
+                                    jnp.where(swap, ea, eb))
+                new_sp = sp_ref[w]
+                for k, centry in pairs:
+                    pushed = k < jnp.inf
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[w, idx] = jnp.where(pushed, centry, stack[w, idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[w] = new_sp
+
+        total = jnp.int32(0)
+        for w in range(W):
+            sp = sp_ref[w]
+            if any_hit:
+                done = jnp.sum((act_ref[w] & (prim_out[w] < 0))
+                               .astype(jnp.int32)) == 0
+                sp = jnp.where(done, 0, sp)
+                sp_ref[w] = sp
+            total = total + sp
+        return total
+
+    jax.lax.while_loop(lambda t: t > 0, body, total0)
+    if stats_out is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
                              + jnp.where(lane == 1, ctr_ref[1], 0))
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
                                              "with_stats", "ordered",
-                                             "multi_pop"))
+                                             "multi_pop", "interleave"))
 def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True,
-                    multi_pop: int = 1):
+                    multi_pop: int = 1, interleave: int = 1):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
     whole-tree root, entry 0); treelet binning passes subtree roots.
     multi_pop: entries retired per kernel iteration (Q latency chains
     overlapped; see _kernel_multi).
+    interleave: W independent packets co-scheduled per grid step (their
+    pop latency chains overlap; see _kernel_ilv). Requires P % W == 0.
     Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
     (node pops, leaf pops) per packet — the profiling counter behind the
-    PERF.md pop-cost model."""
+    PERF.md pop-cost model (with interleave > 1 the counters aggregate the
+    W packets of each grid step: shape [P // W, 2])."""
     P, K, _ = o.shape
     if roots is None:
         roots = jnp.zeros((P,), jnp.int32)
@@ -516,6 +759,13 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     invT = jnp.where(dT >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dT), eps)
 
     table_in_vmem = rows.size * rows.dtype.itemsize <= VMEM_TABLE_LIMIT
+    if interleave > 1:
+        return _traverse_ilv(rows, oT, dT, invT, t_max, active, roots,
+                             P=P, K=K, G=G, stack_depth=stack_depth,
+                             leaf_size=leaf_size, any_hit=any_hit,
+                             interpret=interpret, with_stats=with_stats,
+                             ordered=ordered, interleave=interleave,
+                             table_in_vmem=table_in_vmem)
     if multi_pop > 1:
         # Q-pop expands up to Q subtrees at once: the single-pop DFS depth
         # bound (7 entries/level) scales by the lookahead width.
@@ -571,7 +821,7 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((max(2, multi_pop), LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((max(2, multi_pop),))]
-                   + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
+                   + ([pltpu.SMEM((3,), jnp.int32)] if with_stats else []),
         # The table blows the default 16 MB scoped-VMEM budget; size the
         # limit to table + double-buffered ray/output blocks + slack.
         compiler_params=pltpu.CompilerParams(
@@ -583,6 +833,79 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     )(roots.astype(jnp.int32), oT, dT, invT,
       t_max.reshape(P, G, LANES),
       active.reshape(P, G, LANES), rows)
+    t, prim, u, v = outs[:4]
+    result = (t.reshape(P, K), prim.reshape(P, K),
+              u.reshape(P, K), v.reshape(P, K))
+    if with_stats:
+        # multi_pop appends its overflow-event latch as a third column.
+        ncol = 3 if multi_pop > 1 else 2
+        return result + (outs[4][:, 0, 0:ncol],)
+    return result
+
+
+def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
+                  P, K, G, stack_depth, leaf_size, any_hit, interpret,
+                  with_stats, ordered, interleave, table_in_vmem):
+    """pallas_call plumbing for the interleaved W-packet kernel."""
+    W = interleave
+    if P % W != 0:
+        raise ValueError(f"packet count P={P} must divide interleave={W}")
+    kernel = functools.partial(_kernel_ilv, stack_depth=stack_depth,
+                               leaf_size=leaf_size, any_hit=any_hit,
+                               table_in_vmem=table_in_vmem,
+                               ordered=ordered, interleave=W)
+    grid = (P // W,)
+    ray_spec = pl.BlockSpec((W, 3, G, LANES), lambda p: (p, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((W, G, LANES), lambda p: (p, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def out_sds(dtype):
+        return jax.ShapeDtypeStruct((P, G, LANES), dtype)
+
+    out_specs = [lane_spec] * 4
+    out_shape = [out_sds(jnp.float32), out_sds(jnp.int32),
+                 out_sds(jnp.float32), out_sds(jnp.float32)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 1, LANES), lambda p: (p, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((P // W, 1, LANES), jnp.int32))
+
+    def entry(root_r, o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o,
+              v_o, *rest):
+        if with_stats:
+            st_o, stack, spr, kbuf, rb, sm, ctr = rest
+            st_view = (st_o.at[0], ctr)
+        else:
+            stack, spr, kbuf, rb, sm = rest
+            st_view = None
+        kernel(root_r, o_r, d_r, i_r, tm_r, ac_r, rows_r, t_o, p_o, u_o,
+               v_o, st_view, stack, spr, kbuf, rb, sm)
+
+    outs = pl.pallas_call(
+        entry,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  ray_spec, ray_spec, ray_spec, lane_spec, lane_spec,
+                  pl.BlockSpec(memory_space=(pltpu.VMEM if table_in_vmem
+                                             else pl.ANY))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((W, stack_depth), jnp.int32),
+                        pltpu.SMEM((W,), jnp.int32),
+                        pltpu.VMEM((8 * W, 1), jnp.float32),
+                        pltpu.VMEM((max(2, W), LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((max(2, W),))]
+                   + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (rows.size * rows.dtype.itemsize if table_in_vmem else 0)
+                + W * 64 * G * LANES * 4 + 4 * 1024 * 1024,
+                120 * 1024 * 1024)),
+        interpret=interpret,
+    )(roots.astype(jnp.int32), oT.reshape(P, 3, G, LANES),
+      dT.reshape(P, 3, G, LANES), invT.reshape(P, 3, G, LANES),
+      t_max.reshape(P, G, LANES), active.reshape(P, G, LANES), rows)
     t, prim, u, v = outs[:4]
     result = (t.reshape(P, K), prim.reshape(P, K),
               u.reshape(P, K), v.reshape(P, K))

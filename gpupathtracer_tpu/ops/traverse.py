@@ -205,27 +205,28 @@ def _pad_rays(o, d, t_max, active, multiple: int):
 
 
 def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
-                leaf_size: int, packet_size: int, any_hit_mode: bool):
+                leaf_size: int, packet_size: int, any_hit_mode: bool,
+                interleave: int = 1):
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     K = max(LANES, (min(packet_size, o.shape[0]) // LANES) * LANES)
-    o, d, t_max, active, n = _pad_rays(o, d, t_max, active, K)
+    o, d, t_max, active, n = _pad_rays(o, d, t_max, active, K * interleave)
     P = o.shape[0] // K
     interpret = jax.default_backend() != "tpu"
     t, prim, u, v = traverse_pallas(
         scene.bvh.node_rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
         t_max.reshape(P, K), active.reshape(P, K),
         stack_depth=stack_depth, leaf_size=leaf_size,
-        any_hit=any_hit_mode, interpret=interpret)
+        any_hit=any_hit_mode, interleave=interleave, interpret=interpret)
     return Hit(t=t.reshape(-1)[:n], prim=prim.reshape(-1)[:n],
                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
 
 
 def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                   leaf_size: int, traversal: str = "packet",
-                  packet_size: int = 128) -> Hit:
+                  packet_size: int = 128, interleave: int = 1) -> Hit:
     """Dispatch between traversal implementations ("pallas" on-core kernel,
-    "treelet" subtree-binned rounds, "packet" XLA shared-stack packets,
-    "perray" lockstep)."""
+    "tsort" treelet-sorted packets, "treelet" subtree-binned rounds,
+    "packet" XLA shared-stack packets, "perray" lockstep)."""
     traversal = resolve_traversal(traversal)
     if traversal == "treelet":
         from gpupathtracer_tpu.ops.treelet import trace_closest_treelet
@@ -233,10 +234,18 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                                      stack_depth=stack_depth,
                                      leaf_size=leaf_size,
                                      packet_size=max(packet_size, 128))
+    if traversal == "tsort":
+        from gpupathtracer_tpu.ops.tsort import trace_closest_tsort
+        return trace_closest_tsort(scene, o, d, t_max, active,
+                                   stack_depth=stack_depth,
+                                   leaf_size=leaf_size,
+                                   packet_size=max(packet_size, 128),
+                                   interleave=interleave)
     if traversal == "pallas":
         return _pallas_hit(scene, o, d, t_max, active,
                            stack_depth=stack_depth, leaf_size=leaf_size,
-                           packet_size=packet_size, any_hit_mode=False)
+                           packet_size=packet_size, any_hit_mode=False,
+                           interleave=interleave)
     if traversal == "packet":
         from gpupathtracer_tpu.ops.packet_traverse import closest_hit_packets
         ps = min(packet_size, o.shape[0])
@@ -251,7 +260,7 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
 
 def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                    leaf_size: int, traversal: str = "packet",
-                   packet_size: int = 128):
+                   packet_size: int = 128, interleave: int = 1):
     """Dispatch any-hit/occlusion query."""
     traversal = resolve_traversal(traversal)
     if traversal == "treelet":
@@ -260,10 +269,18 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
                                       packet_size=max(packet_size, 128))
+    if traversal == "tsort":
+        from gpupathtracer_tpu.ops.tsort import trace_occluded_tsort
+        return trace_occluded_tsort(scene, o, d, t_max, active,
+                                    stack_depth=stack_depth,
+                                    leaf_size=leaf_size,
+                                    packet_size=max(packet_size, 128),
+                                    interleave=interleave)
     if traversal == "pallas":
         hit = _pallas_hit(scene, o, d, t_max, active,
                           stack_depth=stack_depth, leaf_size=leaf_size,
-                          packet_size=packet_size, any_hit_mode=True)
+                          packet_size=packet_size, any_hit_mode=True,
+                          interleave=interleave)
         return hit.prim >= 0
     if traversal == "packet":
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets

@@ -152,7 +152,43 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
              jnp.int32(1), jnp.int32(0))
     state = jax.lax.while_loop(
         lambda s: (s[6] > 0) & (s[7] < max_rounds), body, state)
-    t, prim, u, v, occluded = state[:5]
+    t, prim, u, v, occluded, processed = state[:6]
+
+    # Truncation fallback (ADVICE r2): if the round loop hit max_rounds with
+    # candidates still unvisited (pathological demand skew can burn ~C/2
+    # rounds on one hot treelet), finish those rays with a whole-tree
+    # traversal instead of silently returning missed hits. When no ray is
+    # left over — the normal case — every packet below is all-dead and the
+    # kernel exits before its first pop, so this costs only the launches.
+    _, has_left = candidates(t, processed, occluded)
+    leftover = jnp.any(has_left, axis=1)
+    pad = (-N) % K
+    if pad:
+        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d_p = jnp.concatenate(
+            [d, jnp.zeros((pad, 3), d.dtype).at[:, 0].set(1.0)])
+        t_p = jnp.concatenate([t, jnp.zeros((pad,), t.dtype)])
+        tm_p = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        left_p = jnp.concatenate([leftover, jnp.zeros((pad,), bool)])
+    else:
+        o_p, d_p, t_p, tm_p, left_p = o, d, t, t_max, leftover
+    NP = N + pad
+    ft, fp, fu, fv = traverse_pallas(
+        rows, o_p.reshape(NP // K, K, 3), d_p.reshape(NP // K, K, 3),
+        (tm_p if any_hit else t_p).reshape(NP // K, K),
+        left_p.reshape(NP // K, K),
+        stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+        interpret=interpret)
+    ft, fp = ft.reshape(NP)[:N], fp.reshape(NP)[:N]
+    fu, fv = fu.reshape(NP)[:N], fv.reshape(NP)[:N]
+    if any_hit:
+        occluded = occluded | (leftover & (fp >= 0))
+    else:
+        closer = leftover & (fp >= 0) & (ft < t)
+        t = jnp.where(closer, ft, t)
+        prim = jnp.where(closer, fp, prim)
+        u = jnp.where(closer, fu, u)
+        v = jnp.where(closer, fv, v)
     return t, prim, u, v, occluded, state[7]
 
 

@@ -1,0 +1,150 @@
+"""Treelet-sorted packet dispatch — subtree-coherent packets without bins.
+
+The round-2/3 treelet-binning experiment (ops/treelet.py) proved the
+geometry supports subtree routing (incoherent Sponza bounce rays need only
+~2 treelet visits each under pruning, PERF.md) but lost 6-9x to the XLA
+indexed-op floor: fixed-capacity bins need an argsort + scatter + multiple
+gathers PER ROUND, and demand skew forces 22-26 overflow rounds.
+
+This module keeps the insight and drops the bins: rays are sorted ONCE by
+their nearest candidate treelet (the cut box with the smallest slab entry
+distance) and chopped into fixed packets in sorted order. Every packet then
+traverses the WHOLE tree from the root — no capacity, no rounds, no
+overflow — but its rays now share one subtree, so the shared-stack union
+collapses toward that subtree's row count, and near-first ordered descent
+prunes most rays' second candidates after the shared one shrinks t.
+
+Cost: one fused [N, C] slab + argmin (the "candidate select" the binning
+experiment measured at ~31 ns/ray), one argsort, one [N, 8] payload gather
+and one [N, 4] result scatter (~30 ns/row each) — a fixed ~150 ns/ray,
+vs. the ~190 ns/ray/round * many rounds the binning paid.
+
+Role model: the ray-sorting literature's "treelet reordering" applied at
+dispatch granularity; the reference has no counterpart (its persistent
+threads rely on warp divergence hardware, Iterative.comp:174-210).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpupathtracer_tpu.ops.traverse import Hit, _safe_inv
+
+
+def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2"):
+    """Permutation grouping rays by nearest candidate treelet(s).
+
+    key_mode "top1" groups by the nearest candidate; "top2" by the
+    (nearest, second-nearest) pair — tighter packets when rays typically
+    have ~2 candidates (PERF.md: mean V = 1.97 on Sponza bounce rays).
+    Dead rays and rays with no candidate sort last (whole dead packets exit
+    the kernel before their first pop)."""
+    C = cut_bounds.shape[0]
+    inv = _safe_inv(d)
+    t0 = (cut_bounds[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
+    t1 = (cut_bounds[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)      # [N, C]
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None]) & active[:, None]
+    key = jnp.where(hit, tn, jnp.inf)
+    if key_mode == "top2":
+        negk, tids = jax.lax.top_k(-key, 2)         # 2 smallest entries
+        t1_, t2_ = tids[:, 0], tids[:, 1]
+        has1 = jnp.isfinite(negk[:, 0])
+        has2 = jnp.isfinite(negk[:, 1])
+        skey = jnp.where(active & has1,
+                         t1_ * (C + 1) + jnp.where(has2, t2_, C),
+                         C * (C + 1) + C)
+    else:
+        tid = jnp.argmin(key, axis=1).astype(jnp.int32)
+        has = jnp.isfinite(jnp.min(key, axis=1))
+        skey = jnp.where(active & has, tid, C)
+    return jnp.argsort(skey).astype(jnp.int32)
+
+
+def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
+           packet_size: int, any_hit: bool, interleave: int = 1,
+           kernel: str = "packet", key_mode: str = "top2",
+           interpret: bool | None = None):
+    from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
+    if kernel == "subpacket":
+        # Sub-packets (one independent 128-ray packet per sublane row,
+        # ~190 ns/pop retire rate) are the natural consumers of the sorted
+        # order: their round-2 loss was 128-ray union inflation on
+        # UNSORTED rays, which the treelet sort removes (consecutive
+        # 128-ray groups share a treelet whenever a treelet's demand
+        # exceeds one row).
+        from gpupathtracer_tpu.ops.subpacket_traverse import \
+            traverse_subpacket
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = o.shape[0]
+    K = max(LANES, (min(packet_size, n) // LANES) * LANES)
+
+    perm = _sort_perm(scene.bvh.cut_bounds, o, d, t_max, active,
+                      key_mode=key_mode)
+    # Single-gather payload: one [N, 8] row fetch instead of four.
+    payload = jnp.concatenate(
+        [o, d, t_max[:, None], active[:, None].astype(jnp.float32)],
+        axis=1)[perm]
+    o_s, d_s = payload[:, 0:3], payload[:, 3:6]
+    t_s, a_s = payload[:, 6], payload[:, 7] > 0.5
+
+    quantum = K * interleave
+    pad = (-n) % quantum
+    if pad:
+        o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3), o_s.dtype)])
+        d_s = jnp.concatenate(
+            [d_s, jnp.zeros((pad, 3), d_s.dtype).at[:, 0].set(1.0)])
+        t_s = jnp.concatenate([t_s, jnp.zeros((pad,), t_s.dtype)])
+        a_s = jnp.concatenate([a_s, jnp.zeros((pad,), bool)])
+    NP = n + pad
+    P = NP // K
+    if kernel == "subpacket":
+        t, prim, u, v = traverse_subpacket(
+            scene.bvh.node_rows, o_s.reshape(P, K, 3), d_s.reshape(P, K, 3),
+            t_s.reshape(P, K), a_s.reshape(P, K),
+            stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+            interpret=interpret)
+    else:
+        t, prim, u, v = traverse_pallas(
+            scene.bvh.node_rows, o_s.reshape(P, K, 3), d_s.reshape(P, K, 3),
+            t_s.reshape(P, K), a_s.reshape(P, K),
+            stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+            interleave=interleave, interpret=interpret)
+    # Single-scatter unpermute: pack (t, prim-bits, u, v) as one [N, 4] row.
+    res = jnp.stack([t.reshape(NP)[:n],
+                     jax.lax.bitcast_convert_type(prim.reshape(NP)[:n],
+                                                  jnp.float32),
+                     u.reshape(NP)[:n], v.reshape(NP)[:n]], axis=1)
+    out = jnp.zeros((n, 4), jnp.float32).at[perm].set(res)
+    return Hit(t=out[:, 0],
+               prim=jax.lax.bitcast_convert_type(out[:, 1], jnp.int32),
+               u=out[:, 2], v=out[:, 3])
+
+
+def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,
+                        leaf_size: int, packet_size: int = 2048,
+                        interleave: int = 1, kernel: str = "packet",
+                        key_mode: str = "top2",
+                        interpret: bool | None = None) -> Hit:
+    """Closest-hit with treelet-sorted packets. Same contract as
+    traverse.trace_closest."""
+    return _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
+                  leaf_size=leaf_size, packet_size=packet_size,
+                  any_hit=False, interleave=interleave, kernel=kernel,
+                  key_mode=key_mode, interpret=interpret)
+
+
+def trace_occluded_tsort(scene, o, d, t_max, active, *, stack_depth: int,
+                         leaf_size: int, packet_size: int = 2048,
+                         interleave: int = 1, kernel: str = "packet",
+                         key_mode: str = "top2",
+                         interpret: bool | None = None):
+    """Occlusion query with treelet-sorted packets. Returns occluded [N]."""
+    hit = _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
+                 leaf_size=leaf_size, packet_size=packet_size,
+                 any_hit=True, interleave=interleave, kernel=kernel,
+                 key_mode=key_mode, interpret=interpret)
+    return hit.prim >= 0

@@ -1,0 +1,158 @@
+"""Partitioned multi-chip traversal — rays migrate, chips own subtrees.
+
+Counterpart of bvh/partition.py at trace time: the merged BVH table is
+split into D per-device subtree tables (sharded over the mesh's "chips"
+axis, each small enough to pin in VMEM), and ray shards ROTATE around the
+ICI ring with `jax.lax.ppermute`. Hop s has chip c traverse the resident
+ray block against its local subtree, masked to rays whose slab entry into
+this chip's forest bounds is closer than their current best hit; after D
+hops every block is home with the globally closest hit.
+
+Why a ring instead of demand-driven all_to_all: static shapes and
+uniform per-hop bandwidth are what ICI wants (SURVEY.md §2.5, scaling-book
+recipe), and the treelet experiments measured any demand-dependent
+regrouping as overhead-bound (PERF.md). The pruning mask plays the role of
+near-first descent across chips: most rays are masked on most hops
+(measured mean ~2 candidate subtrees per incoherent ray at C=132).
+
+Bandwidth per hop = 48 B/ray (o, d, t, prim, u, v, and the packed
+active/tmax lanes) * shard size; D-1 hops per traversal. Cost model in
+PERF.md §partitioned-traversal.
+
+Role in the reference: none — single GPU. This is the pod-scale design the
+dispatch grid (Renderer.cpp:660) cannot express.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpupathtracer_tpu.bvh.partition import Partition, build_partition
+from gpupathtracer_tpu.ops.traverse import Hit, _safe_inv
+
+
+def shard_partition(part: Partition, mesh: Mesh, axis: str = "chips"):
+    """Device-put the partition: tables sharded over `axis`, bounds
+    replicated."""
+    tables = jax.device_put(
+        jnp.asarray(part.tables),
+        NamedSharding(mesh, P(axis)))
+    dev_bounds = jax.device_put(jnp.asarray(part.dev_bounds),
+                                NamedSharding(mesh, P()))
+    return tables, dev_bounds
+
+
+def _local_trace(table, o, d, t_max, active, *, stack_depth, leaf_size,
+                 packet_size, any_hit, interpret):
+    """One chip's traversal of its local subtree (root = synthetic row 0)."""
+    from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
+    n = o.shape[0]
+    K = max(LANES, (min(packet_size, n) // LANES) * LANES)
+    pad = (-n) % K
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.zeros((pad, 3), d.dtype).at[:, 0].set(1.0)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    NP = n + pad
+    Pk = NP // K
+    t, prim, u, v = traverse_pallas(
+        table, o.reshape(Pk, K, 3), d.reshape(Pk, K, 3),
+        t_max.reshape(Pk, K), active.reshape(Pk, K),
+        stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+        interpret=interpret)
+    return (t.reshape(NP)[:n], prim.reshape(NP)[:n],
+            u.reshape(NP)[:n], v.reshape(NP)[:n])
+
+
+def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
+                            axis_name: str, num_devices: int,
+                            stack_depth: int, leaf_size: int,
+                            packet_size: int = 2048, any_hit: bool = False,
+                            interpret: bool = False):
+    """Ring-rotation traversal; call INSIDE shard_map.
+
+    Args:
+      table: this chip's [M', 128] local subtree table.
+      dev_bounds: [D, 6] forest bounds of every chip (replicated).
+      o, d, t_max, active: this chip's resident ray shard [n].
+    Returns (t, prim, u, v) for the rays that STARTED on this chip.
+    """
+    D = num_devices
+    me = jax.lax.axis_index(axis_name)
+    n = o.shape[0]
+
+    t = t_max.astype(jnp.float32)
+    prim = jnp.full((n,), -1, jnp.int32)
+    u = jnp.zeros((n,), jnp.float32)
+    v = jnp.zeros((n,), jnp.float32)
+    act = active
+
+    state = (o, d, t, prim, u, v, act)
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    for step in range(D):
+        o_c, d_c, t_c, prim_c, u_c, v_c, act_c = state
+        # Route: does this ray enter my forest closer than its current hit?
+        inv = _safe_inv(d_c)
+        lo = dev_bounds[me, 0:3][None, :]
+        hi = dev_bounds[me, 3:6][None, :]
+        t0 = (lo - o_c) * inv
+        t1 = (hi - o_c) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        here = (tn <= tf) & (tf > 0.0) & (tn < t_c) & act_c
+        if any_hit:
+            here = here & (prim_c < 0)
+
+        tt, pp, uu, vv = _local_trace(
+            table, o_c, d_c, t_c, here, stack_depth=stack_depth,
+            leaf_size=leaf_size, packet_size=packet_size, any_hit=any_hit,
+            interpret=interpret)
+        better = here & (pp >= 0) & (tt < t_c)
+        t_c = jnp.where(better, tt, t_c)
+        prim_c = jnp.where(better, pp, prim_c)
+        u_c = jnp.where(better, uu, u_c)
+        v_c = jnp.where(better, vv, v_c)
+
+        state = (o_c, d_c, t_c, prim_c, u_c, v_c, act_c)
+        if step < D - 1:
+            state = jax.lax.ppermute(state, axis_name, perm)
+    # D-1 hops: rotate once more so blocks land back on their origin chip.
+    state = jax.lax.ppermute(state, axis_name, perm)
+    _, _, t, prim, u, v, _ = state
+    return t, prim, u, v
+
+
+def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
+                              active, *, stack_depth: int, leaf_size: int,
+                              packet_size: int = 2048,
+                              any_hit: bool = False,
+                              axis: str = "chips",
+                              interpret: bool | None = None):
+    """shard_map wrapper: full [N] rays in, full [N] Hit out (N must divide
+    the chips axis)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = mesh.shape[axis]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(axis),) * 4,
+             check_vma=False)
+    def run(table, bounds, o_l, d_l, tm_l, act_l):
+        return trace_partitioned_local(
+            table[0], bounds, o_l, d_l, tm_l, act_l, axis_name=axis,
+            num_devices=D, stack_depth=stack_depth, leaf_size=leaf_size,
+            packet_size=packet_size, any_hit=any_hit, interpret=interpret)
+
+    t, prim, u, v = run(tables, dev_bounds, o, d, t_max, active)
+    if any_hit:
+        return prim >= 0
+    return Hit(t=t, prim=prim, u=u, v=v)

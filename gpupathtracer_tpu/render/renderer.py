@@ -91,11 +91,15 @@ class Renderer:
         self.packet_size = (cfg.pallas_packet_size
                             if self.traversal == "pallas"
                             else cfg.packet_size)
-        # Bounce-ray override ("treelet" = subtree binning, ops/treelet.py).
-        # "auto" currently resolves to "same": measured treelet round counts
-        # still lose to the plain kernel end-to-end (PERF.md).
-        self.bounce_traversal = ("same" if cfg.bounce_traversal == "auto"
-                                 else cfg.bounce_traversal)
+        # Bounce-ray override. "auto" resolves to treelet-SORTED packets
+        # (ops/tsort.py) on the Pallas path — measured 1.7x incoherent
+        # closest-hit (PERF.md round 3) — and "same" elsewhere (the sort
+        # machinery only amortizes against the on-core kernel).
+        if cfg.bounce_traversal == "auto":
+            self.bounce_traversal = ("tsort" if self.traversal == "pallas"
+                                     else "same")
+        else:
+            self.bounce_traversal = cfg.bounce_traversal
 
         self.accum = jnp.zeros((self.n_rays, 3), jnp.float32)
         self.num_samples = 0
@@ -131,17 +135,20 @@ class Renderer:
             self.accum = self.accum + contribution
             self.num_samples += self.samples_per_frame
         else:
+            batch = (self.cfg.frame_batch
+                     if integrator in ("wavefront", "direct") else 1)
             out, rays = [], jnp.int32(0)
             for c0 in range(0, self.n_rays, self.chunk):
                 key = jax.random.fold_in(sample_key, c0 // self.chunk)
                 sl = slice(c0, c0 + self.chunk)
-                contribution, r = self._render_chunk(integrator, sl, key)
+                contribution, r = self._render_chunk(integrator, sl, key,
+                                                     batch)
                 out.append(contribution)
                 rays = rays + r
             contribution = (out[0] if len(out) == 1
                             else jnp.concatenate(out, axis=0))
             self.accum = self.accum + contribution
-            self.num_samples += 1
+            self.num_samples += batch
         if sync:
             self.sync()
         self.stats.add_frame(timer.end(), rays)
@@ -158,6 +165,7 @@ class Renderer:
             self.mesh, self.scene, self.camera, self.pixel_x, self.pixel_y,
             key, sample_base=self.num_samples,
             sampler=self.cfg.sampler,
+            shadow_rev=self.cfg.shadow_rev,
             width=self.pad_w, height=self.pad_h,
             max_bounces=self.cfg.max_bounces,
             stack_depth=self.meta.stack_depth,
@@ -170,8 +178,9 @@ class Renderer:
             sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
             delta=getattr(self.meta, "has_delta", False))
 
-    def _render_chunk(self, integrator: str, sl: slice, key):
-        """Returns ([C,3] contribution, rays traced)."""
+    def _render_chunk(self, integrator: str, sl: slice, key, batch: int = 1):
+        """Returns ([C,3] contribution, rays traced). batch > 1 renders
+        that many samples in one dispatch (render_sample_batch)."""
         px = self.pixel_x[sl]
         py = self.pixel_y[sl]
         kwargs = dict(width=self.pad_w, height=self.pad_h,
@@ -188,17 +197,36 @@ class Renderer:
                       sun_mode=self.cfg.sun_mode,
                       delta=getattr(self.meta, "has_delta", False))
         if integrator == "wavefront":
+            if batch > 1:
+                from gpupathtracer_tpu.models.wavefront import \
+                    render_sample_batch
+                return render_sample_batch(
+                    self.scene, self.camera, px, py, key, spp=batch,
+                    nee=self.cfg.nee_enabled, sort_rays=self.cfg.sort_rays,
+                    shadow_rev=self.cfg.shadow_rev,
+                    sampler=self.cfg.sampler,
+                    sample_idx=self.num_samples, **kwargs)
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled,
                                  sort_rays=self.cfg.sort_rays,
+                                 shadow_rev=self.cfg.shadow_rev,
                                  sampler=self.cfg.sampler,
                                  sample_idx=self.num_samples, **kwargs)
         if integrator == "direct":
             # Real-time mode (BASELINE config 3): primary hit + emitter
             # visibility + NEE shadow rays; no continuation wavefront.
             kwargs["max_bounces"] = 0
+            if batch > 1:
+                from gpupathtracer_tpu.models.wavefront import \
+                    render_sample_batch
+                return render_sample_batch(
+                    self.scene, self.camera, px, py, key, spp=batch,
+                    nee=True, sampler=self.cfg.sampler,
+                    shadow_rev=self.cfg.shadow_rev,
+                    sample_idx=self.num_samples, **kwargs)
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=True, sampler=self.cfg.sampler,
+                                 shadow_rev=self.cfg.shadow_rev,
                                  sample_idx=self.num_samples, **kwargs)
         if integrator == "reference":
             kwargs.pop("delta", None)  # reference integrator: diffuse only

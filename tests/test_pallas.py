@@ -1,10 +1,9 @@
 """Pallas packet-traversal kernel: interpret-mode equivalence.
 
-The kernel compiles in interpret mode everywhere; on this image's tunneled
-TPU, HBM/ANY-space kernel inputs crash the remote Mosaic compiler (probed
-2026-08-16: even a static-index make_async_copy from a pl.ANY ref returns
-HTTP 500 from tpu_compile_helper), so the kernel is groundwork for a
-non-tunneled deployment. See PERF.md.
+(The round-1 "HTTP 500 on HBM/ANY refs" note that used to live here was
+diagnosed in round 2: 64-wide rows broke 128-lane slice alignment. The
+kernel now runs on-chip, including the ANY-space per-pop-DMA fallback —
+see PERF.md.)
 """
 
 import jax.numpy as jnp

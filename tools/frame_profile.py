@@ -31,6 +31,19 @@ def frame(label, **kw):
     print(f"{label}: {m:.3f} s/frame", flush=True)
     return m
 
-full = frame("full (nee on)    ")
-nonee = frame("nee off          ", nee_enabled=False)
-print(f"NEE share (shadow rays + light sampling): {full-nonee:.3f} s")
+VARIANTS = {
+    "full": dict(bounce_traversal="same"),
+    "nonee": dict(bounce_traversal="same", nee_enabled=False),
+    "tsort": dict(bounce_traversal="tsort"),
+    "tsort-nonee": dict(bounce_traversal="tsort", nee_enabled=False),
+    "shadowrev": dict(bounce_traversal="same", shadow_rev=True),
+    "tsort-shadowrev": dict(bounce_traversal="tsort", shadow_rev=True),
+}
+
+names = sys.argv[1].split(",") if len(sys.argv) > 1 else ["full", "nonee"]
+res = {}
+for name in names:
+    res[name] = frame(f"{name:<16}", **VARIANTS[name])
+if "full" in res and "nonee" in res:
+    print(f"NEE share (shadow rays + light sampling): "
+          f"{res['full'] - res['nonee']:.3f} s")

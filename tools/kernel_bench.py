@@ -68,14 +68,21 @@ def main() -> None:
     ap.add_argument("--sets", default="coherent,incoherent")
     ap.add_argument("--any-hit", action="store_true")
     ap.add_argument("--mode", default="packet",
-                    choices=["packet", "subpacket", "treelet"],
-                    help="packet = single shared stack; subpacket = "
-                         "per-sublane 128-ray packets; treelet = "
-                         "subtree-binned rounds (ops/treelet.py)")
+                    help="comma-separated sweep over: packet (single "
+                         "shared stack), subpacket (per-sublane 128-ray "
+                         "packets), treelet (subtree-binned rounds), "
+                         "tsort (treelet-sorted packets), tsort-sub "
+                         "(treelet-sorted + subpacket kernel)")
     ap.add_argument("--cap-factor", type=float, default=2.0)
     ap.add_argument("--fanout", type=int, default=4)
     ap.add_argument("--multi-pop", type=int, default=1,
                     help="entries retired per kernel iteration (packet mode)")
+    ap.add_argument("--tsort-kernel", default="packet",
+                    choices=["packet", "subpacket"],
+                    help="inner kernel for tsort mode")
+    ap.add_argument("--interleave", default="1",
+                    help="independent packets co-scheduled per grid step "
+                         "(packet mode); comma-separated list to sweep")
     ap.add_argument("--leaf", type=int, default=0,
                     help="override builder leaf_size (0 = config default)")
     args = ap.parse_args()
@@ -96,6 +103,7 @@ def main() -> None:
     enable_compile_cache()
     N = args.n
     k_list = [int(s) for s in str(args.k).split(",")]
+    ilv_list = [int(s) for s in str(args.interleave).split(",")]
 
     cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
                        width=64, height=64, cache_enabled=True)
@@ -122,41 +130,69 @@ def main() -> None:
     lens_u = jnp.full((N, 2), 0.5, jnp.float32)
     o_coh, d_coh = gen_rays(cam, interp, lens_u)
 
-    tfn = traverse_subpacket if args.mode == "subpacket" else traverse_pallas
+    def make_run(mode):
+        if mode == "treelet":
+            from gpupathtracer_tpu.ops.treelet import (
+                trace_closest_treelet, trace_occluded_treelet)
+            print(f"# treelet cut: C={scene.bvh.cut_entry.shape[0]} "
+                  f"cap_factor={args.cap_factor}", file=sys.stderr)
 
-    if args.mode == "treelet":
-        from gpupathtracer_tpu.ops.treelet import (trace_closest_treelet,
-                                                   trace_occluded_treelet)
-        print(f"# treelet cut: C={scene.bvh.cut_entry.shape[0]} "
-              f"cap_factor={args.cap_factor}", file=sys.stderr)
+            def run(o, d, K, with_stats=False, ilv=1):
+                tmax = jnp.full((N,), 1e20, jnp.float32)
+                act = jnp.ones((N,), bool)
+                kw = dict(stack_depth=meta.stack_depth,
+                          leaf_size=meta.leaf_size, packet_size=K,
+                          cap_factor=args.cap_factor, fanout=args.fanout,
+                          interpret=False)
+                if args.any_hit:
+                    occ = trace_occluded_treelet(scene, o, d, tmax, act,
+                                                 **kw)
+                    return (occ.astype(jnp.float32),) * 5
+                hit = trace_closest_treelet(scene, o, d, tmax, act, **kw)
+                return (hit.t, hit.prim, hit.u, hit.v,
+                        jnp.zeros((1, 2), jnp.int32))
+        elif mode in ("tsort", "tsort2", "tsort-sub"):
+            from gpupathtracer_tpu.ops.tsort import (trace_closest_tsort,
+                                                     trace_occluded_tsort)
+            inner = "subpacket" if mode == "tsort-sub" else args.tsort_kernel
+            kmode = "top2" if mode == "tsort2" else "top1"
 
-        def run(o, d, K, with_stats=False):
-            tmax = jnp.full((N,), 1e20, jnp.float32)
-            act = jnp.ones((N,), bool)
-            kw = dict(stack_depth=meta.stack_depth,
-                      leaf_size=meta.leaf_size, packet_size=K,
-                      cap_factor=args.cap_factor, fanout=args.fanout,
-                      interpret=False)
-            if args.any_hit:
-                occ = trace_occluded_treelet(scene, o, d, tmax, act, **kw)
-                return (occ.astype(jnp.float32),) * 5
-            hit = trace_closest_treelet(scene, o, d, tmax, act, **kw)
-            return hit.t, hit.prim, hit.u, hit.v, jnp.zeros((1, 2), jnp.int32)
-    else:
-        def run(o, d, K, with_stats=False):
-            P = N // K
-            return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
-                       jnp.full((P, K), 1e20, jnp.float32),
-                       jnp.ones((P, K), bool),
-                       stack_depth=meta.stack_depth,
-                       leaf_size=meta.leaf_size,
-                       any_hit=args.any_hit,
-                       ordered=bool(args.ordered),
-                       **({"multi_pop": args.multi_pop}
-                          if args.mode == "packet" else {}),
-                       with_stats=with_stats)
+            def run(o, d, K, with_stats=False, ilv=1):
+                tmax = jnp.full((N,), 1e20, jnp.float32)
+                act = jnp.ones((N,), bool)
+                kw = dict(stack_depth=meta.stack_depth,
+                          leaf_size=meta.leaf_size, packet_size=K,
+                          interleave=ilv, kernel=inner, key_mode=kmode,
+                          interpret=False)
+                if args.any_hit:
+                    occ = trace_occluded_tsort(scene, o, d, tmax, act, **kw)
+                    return (occ.astype(jnp.float32),) * 5
+                hit = trace_closest_tsort(scene, o, d, tmax, act, **kw)
+                return (hit.t, hit.prim, hit.u, hit.v,
+                        jnp.zeros((1, 2), jnp.int32))
+        else:
+            tfn = (traverse_subpacket if mode == "subpacket"
+                   else traverse_pallas)
+
+            def run(o, d, K, with_stats=False, ilv=1):
+                P = N // K
+                return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+                           jnp.full((P, K), 1e20, jnp.float32),
+                           jnp.ones((P, K), bool),
+                           stack_depth=meta.stack_depth,
+                           leaf_size=meta.leaf_size,
+                           any_hit=args.any_hit,
+                           ordered=bool(args.ordered),
+                           **({"multi_pop": args.multi_pop,
+                               "interleave": ilv}
+                              if mode == "packet" else {}),
+                           with_stats=with_stats)
+        return run
+
+    mode_list = str(args.mode).split(",")
 
     # Incoherent set: random dirs from the coherent hit points, permuted.
+    run = make_run(mode_list[0])
     t, prim = run(o_coh, d_coh, k_list[0])[:2]
     t = t.reshape(N)
     hitp = jnp.where((prim.reshape(N) >= 0)[:, None],
@@ -170,24 +206,37 @@ def main() -> None:
 
     rays = {"coherent": (o_coh, d_coh), "incoherent": (o_inc, d_inc)}
     out = {}
-    for K in k_list:
-        for name in args.sets.split(","):
-            o, d = rays[name]
-            f = lambda o=o, d=d, K=K: run(o, d, K)[0]
-            f()  # compile outside the timed region
-            med, spread = _median_net(
-                f, lambda K=K: run(o_coh, d_coh, K)[0], args.reps)
-            mrays = N / med / 1e6
-            line = (f"K={K} {name}: {mrays:.2f} Mrays/s "
-                    f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
-            if args.stats and args.mode != "treelet":
-                st = np.asarray(run(o, d, K, with_stats=True)[4])
-                tot = st.sum(0)
-                line += (f" | pops/packet node p50={np.median(st[:, 0]):.0f}"
-                         f" leaf p50={np.median(st[:, 1]):.0f};"
-                         f" ns/pop={med * 1e9 / max(tot.sum(), 1):.0f}")
-            print(line, flush=True)
-            out[f"{name}@{K}"] = round(mrays, 2)
+    for mode in mode_list:
+        run = make_run(mode)
+        for K in k_list:
+            for ilv in ilv_list:
+                for name in args.sets.split(","):
+                    o, d = rays[name]
+                    f = lambda o=o, d=d, K=K, ilv=ilv: run(o, d, K,
+                                                           ilv=ilv)[0]
+                    f()  # compile outside the timed region
+                    med, spread = _median_net(
+                        f, lambda K=K, ilv=ilv: run(o_coh, d_coh, K,
+                                                    ilv=ilv)[0], args.reps)
+                    mrays = N / med / 1e6
+                    tag = (mode if len(mode_list) > 1 else "") \
+                        + f" K={K}" + (f" W={ilv}" if len(ilv_list) > 1
+                                       else "")
+                    line = (f"{tag.strip()} {name}: {mrays:.2f} Mrays/s "
+                            f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
+                    if args.stats and mode in ("packet", "subpacket"):
+                        st = np.asarray(run(o, d, K, with_stats=True,
+                                            ilv=ilv)[4])
+                        tot = st[:, :2].sum(0)
+                        line += (f" | pops/step node "
+                                 f"p50={np.median(st[:, 0]):.0f}"
+                                 f" leaf p50={np.median(st[:, 1]):.0f};"
+                                 f" ns/pop="
+                                 f"{med * 1e9 / max(tot.sum(), 1):.0f}")
+                        if st.shape[1] > 2 and st[:, 2].sum() > 0:
+                            line += f" | STACK OVERFLOWS={st[:, 2].sum()}"
+                    print(line, flush=True)
+                    out[f"{mode}:{name}@{K}w{ilv}"] = round(mrays, 2)
     print(f"# summary {out}", file=sys.stderr)
 
 

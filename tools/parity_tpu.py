@@ -44,6 +44,13 @@ def main() -> None:
     if args.scene == "proc:cornell":
         cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
                                   fov=math.radians(45), aspect=1.0)
+    elif args.scene.startswith("proc:"):
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        pos, yaw, pitch, fov, aperture, focus = default_camera(args.scene)
+        # No DoF for parity runs: the reference integrator and wavefront
+        # share the lens model, but a pinhole keeps the comparison sharp.
+        cfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                  fov=math.radians(fov), aspect=1.0)
 
     r = Renderer(cfg)
     t0 = time.time()
