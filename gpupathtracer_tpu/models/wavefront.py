@@ -58,6 +58,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        sun_mode: str = "disk",
                        sort_rays: bool = False,
                        shadow_rev: bool = False,
+                       shadow_sort: bool = False,
                        delta: bool = False,
                        compaction: bool = True,
                        compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
@@ -150,6 +151,16 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         rays = c.rays + jnp.sum(c.alive, dtype=jnp.int32)
 
         t_max_full = jnp.full((nw,), T_MAX, jnp.float32)
+        # One treelet-sort permutation per bounce, shared between the
+        # closest-hit and (optionally) the shadow trace: shadow origins
+        # ARE the bounce rays' hit points, which the (top1, top2) key
+        # already groups by destination treelet, so the shadow rays get
+        # grouping for one gather + scatter instead of a fresh sort.
+        shared_perm = None
+        if trav == "tsort" and shadow_sort and nee:
+            from gpupathtracer_tpu.ops.tsort import _sort_perm
+            shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
+                                     t_max_full, c.alive)
         if sort_rays and trav != "perray":
             perm = ray_sort_perm(c.o, c.d, c.alive)
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
@@ -159,6 +170,13 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             inv = jnp.argsort(perm)
             hit = type(hit_s)(t=hit_s.t[inv], prim=hit_s.prim[inv],
                               u=hit_s.u[inv], v=hit_s.v[inv])
+        elif shared_perm is not None:
+            from gpupathtracer_tpu.ops.tsort import trace_closest_tsort
+            hit = trace_closest_tsort(scene, c.o, c.d, t_max_full, c.alive,
+                                      stack_depth=stack_depth,
+                                      leaf_size=leaf_size,
+                                      packet_size=max(packet_size, 128),
+                                      perm=shared_perm)
         else:
             hit = trace_closest(scene, c.o, c.d, t_max_full, c.alive,
                                 stack_depth=stack_depth, leaf_size=leaf_size,
@@ -227,15 +245,23 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                 so = jnp.where(finite[:, None], so + sd * st_[:, None], so)
                 sd = jnp.where(finite[:, None], -sd, sd)
             # Shadow rays keep the PRIMARY traversal even when a bounce
-            # override (tsort/treelet) is active: reversed shadow rays are
-            # coherent, and the any-hit kernel is already ~3x faster than
-            # closest-hit on incoherent rays, so the sort overhead does
-            # not amortize there (PERF.md round 3).
-            occluded = trace_occluded(scene, so, sd, st_, alive,
-                                      stack_depth=stack_depth,
-                                      leaf_size=leaf_size,
-                                      traversal=traversal,
-                                      packet_size=packet_size)
+            # override (tsort/treelet) is active: a FRESH sort for shadow
+            # rays measured as a loss (any-hit already runs ~3x faster
+            # than closest-hit, PERF.md round 3). shadow_sort instead
+            # REUSES the bounce permutation — grouping for one
+            # gather + scatter, no key/argsort.
+            if shared_perm is not None:
+                from gpupathtracer_tpu.ops.tsort import trace_occluded_tsort
+                occluded = trace_occluded_tsort(
+                    scene, so, sd, st_, alive, stack_depth=stack_depth,
+                    leaf_size=leaf_size,
+                    packet_size=max(packet_size, 128), perm=shared_perm)
+            else:
+                occluded = trace_occluded(scene, so, sd, st_, alive,
+                                          stack_depth=stack_depth,
+                                          leaf_size=leaf_size,
+                                          traversal=traversal,
+                                          packet_size=packet_size)
             # Delta surfaces have zero BSDF toward any sampled light point.
             contribution = contribution + jnp.where(
                 (alive & ~occluded & ~is_delta)[..., None],
@@ -368,7 +394,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 _STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
-    "textured", "sun", "sun_mode", "sort_rays", "shadow_rev", "delta",
+    "textured", "sun", "sun_mode", "sort_rays", "shadow_rev",
+    "shadow_sort", "delta",
     "compaction", "compaction_divs", "compaction_min", "sampler")
 
 render_sample = partial(jax.jit, static_argnames=_STATICS)(

@@ -66,7 +66,7 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2"):
 def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
            packet_size: int, any_hit: bool, interleave: int = 1,
            kernel: str = "packet", key_mode: str = "top2",
-           interpret: bool | None = None):
+           perm=None, interpret: bool | None = None):
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     if kernel == "subpacket":
         # Sub-packets (one independent 128-ray packet per sublane row,
@@ -82,8 +82,9 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
     n = o.shape[0]
     K = max(LANES, (min(packet_size, n) // LANES) * LANES)
 
-    perm = _sort_perm(scene.bvh.cut_bounds, o, d, t_max, active,
-                      key_mode=key_mode)
+    if perm is None:
+        perm = _sort_perm(scene.bvh.cut_bounds, o, d, t_max, active,
+                          key_mode=key_mode)
     # Single-gather payload: one [N, 8] row fetch instead of four.
     payload = jnp.concatenate(
         [o, d, t_max[:, None], active[:, None].astype(jnp.float32)],
@@ -127,24 +128,25 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
 def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                         leaf_size: int, packet_size: int = 2048,
                         interleave: int = 1, kernel: str = "packet",
-                        key_mode: str = "top2",
+                        key_mode: str = "top2", perm=None,
                         interpret: bool | None = None) -> Hit:
     """Closest-hit with treelet-sorted packets. Same contract as
-    traverse.trace_closest."""
+    traverse.trace_closest. perm: optional precomputed permutation
+    (callers can reuse one bounce's sort for its shadow rays)."""
     return _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                   leaf_size=leaf_size, packet_size=packet_size,
                   any_hit=False, interleave=interleave, kernel=kernel,
-                  key_mode=key_mode, interpret=interpret)
+                  key_mode=key_mode, perm=perm, interpret=interpret)
 
 
 def trace_occluded_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                          leaf_size: int, packet_size: int = 2048,
                          interleave: int = 1, kernel: str = "packet",
-                         key_mode: str = "top2",
+                         key_mode: str = "top2", perm=None,
                          interpret: bool | None = None):
     """Occlusion query with treelet-sorted packets. Returns occluded [N]."""
     hit = _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                  leaf_size=leaf_size, packet_size=packet_size,
                  any_hit=True, interleave=interleave, kernel=kernel,
-                 key_mode=key_mode, interpret=interpret)
+                 key_mode=key_mode, perm=perm, interpret=interpret)
     return hit.prim >= 0

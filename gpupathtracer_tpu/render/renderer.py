@@ -92,12 +92,16 @@ class Renderer:
                             if self.traversal == "pallas"
                             else cfg.packet_size)
         # Bounce-ray override. "auto" resolves to treelet-SORTED packets
-        # (ops/tsort.py) on the Pallas path — measured 1.7x incoherent
-        # closest-hit (PERF.md round 3) — and "same" elsewhere (the sort
-        # machinery only amortizes against the on-core kernel).
+        # (ops/tsort.py) on the Pallas path for BIG trees — measured 1.67x
+        # on the 1080p Sponza frame (PERF.md round 3) — and "same"
+        # elsewhere: the ~130 ns/ray sort machinery only amortizes when
+        # the plain kernel is slow, and small tables (< ~8k rows) already
+        # run 9-44 Mrays/s incoherent (scene-size scaling curve).
+        n_rows = int(scene.bvh.node_rows.shape[0])
         if cfg.bounce_traversal == "auto":
-            self.bounce_traversal = ("tsort" if self.traversal == "pallas"
-                                     else "same")
+            self.bounce_traversal = ("tsort"
+                                     if self.traversal == "pallas"
+                                     and n_rows >= 8192 else "same")
         else:
             self.bounce_traversal = cfg.bounce_traversal
 
@@ -166,6 +170,7 @@ class Renderer:
             key, sample_base=self.num_samples,
             sampler=self.cfg.sampler,
             shadow_rev=self.cfg.shadow_rev,
+            shadow_sort=self.cfg.shadow_sort,
             width=self.pad_w, height=self.pad_h,
             max_bounces=self.cfg.max_bounces,
             stack_depth=self.meta.stack_depth,
@@ -204,12 +209,14 @@ class Renderer:
                     self.scene, self.camera, px, py, key, spp=batch,
                     nee=self.cfg.nee_enabled, sort_rays=self.cfg.sort_rays,
                     shadow_rev=self.cfg.shadow_rev,
+                    shadow_sort=self.cfg.shadow_sort,
                     sampler=self.cfg.sampler,
                     sample_idx=self.num_samples, **kwargs)
             return render_sample(self.scene, self.camera, px, py, key,
                                  nee=self.cfg.nee_enabled,
                                  sort_rays=self.cfg.sort_rays,
                                  shadow_rev=self.cfg.shadow_rev,
+                                 shadow_sort=self.cfg.shadow_sort,
                                  sampler=self.cfg.sampler,
                                  sample_idx=self.num_samples, **kwargs)
         if integrator == "direct":

@@ -37,6 +37,21 @@ def test_r2_and_rotation_properties():
     assert abs(rot.mean() - 0.5) < 0.05
 
 
+def test_r2_never_reaches_one_at_wrap_boundaries():
+    """ADVICE r2: uint32 values >= 2^32-128 used to round UP to exactly
+    1.0 in float32, breaking the [0,1) contract. The 24-bit truncation
+    must hold at adversarial sample indices (computed by inverting the
+    additive recurrence so s*alpha lands within 128 of 2^32)."""
+    import jax.numpy as jnp
+    a = np.uint64(3242174889)
+    # Solve s * a ≡ target (mod 2^32) for targets near the wrap.
+    inv = pow(int(a), -1, 1 << 32)
+    for target in (0xFFFFFFFF, 0xFFFFFF80, 0xFFFFFFC0):
+        s = (inv * target) % (1 << 32)
+        pt = np.asarray(r2_sequence(jnp.uint32(s - 1)))  # +1 inside
+        assert (pt < 1.0).all() and (pt >= 0.0).all(), (target, pt)
+
+
 def test_ld_render_is_deterministic_and_finite():
     ra = Renderer(_cfg("ld"))
     ra.render_frame("wavefront")

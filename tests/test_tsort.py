@@ -101,6 +101,38 @@ def test_interleaved_kernel_matches_single():
                                   np.asarray(got_ah[1] >= 0))
 
 
+def test_interleaved_kernel_hbm_fallback():
+    """_kernel_ilv's per-pop DMA path (table too big for VMEM) matches the
+    VMEM path. Forced via VMEM_TABLE_LIMIT monkeypatch; K=384 keeps the
+    jit cache from reusing a trace made under the normal limit."""
+    import gpupathtracer_tpu.ops.pallas_traverse as pt
+
+    scene, wide, _, depth = _scene(seed=5, n=320)
+    rows = jnp.asarray(wide.node_rows)
+    rng = np.random.RandomState(21)
+    K, P = 384, 2
+    N = P * K
+    o, d = _rays(rng, N)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.ones((N,), bool)
+    args = (rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+            tmax.reshape(P, K), act.reshape(P, K))
+    ref = traverse_pallas(*args, stack_depth=depth, interleave=2,
+                          interpret=True)
+    # The jit cache keys on statics/shapes only, not the module global —
+    # calling the jitted wrapper under the patch would silently reuse the
+    # VMEM-path executable. Call the unjitted function instead.
+    raw = pt.traverse_pallas.__wrapped__
+    old = pt.VMEM_TABLE_LIMIT
+    try:
+        pt.VMEM_TABLE_LIMIT = 1
+        got = raw(*args, stack_depth=depth, interleave=2, interpret=True)
+    finally:
+        pt.VMEM_TABLE_LIMIT = old
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_interleaved_kernel_with_roots_and_stats():
     """roots= plumbing and the aggregated stats row in interleave mode."""
     scene, wide, _, depth = _scene(seed=2, n=300)

@@ -38,6 +38,7 @@ VARIANTS = {
     "tsort-nonee": dict(bounce_traversal="tsort", nee_enabled=False),
     "shadowrev": dict(bounce_traversal="same", shadow_rev=True),
     "tsort-shadowrev": dict(bounce_traversal="tsort", shadow_rev=True),
+    "tsort-shadowsort": dict(bounce_traversal="tsort", shadow_sort=True),
 }
 
 names = sys.argv[1].split(",") if len(sys.argv) > 1 else ["full", "nonee"]
