@@ -77,7 +77,7 @@ class RenderConfig:
     treelet_min: int = 1 << 15             # min wavefront width for treelet binning/sorting
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     shadow_rev: bool = False               # trace NEE shadow rays from the light end
-    shadow_sort: bool = False              # reuse the bounce tsort perm for shadow rays
+    shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)

@@ -160,7 +160,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         if trav == "tsort" and shadow_sort and nee:
             from gpupathtracer_tpu.ops.tsort import _sort_perm
             shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
-                                     t_max_full, c.alive)
+                                     t_max_full, c.alive, bvh=scene.bvh)
         if sort_rays and trav != "perray":
             perm = ray_sort_perm(c.o, c.d, c.alive)
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,

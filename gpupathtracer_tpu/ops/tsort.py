@@ -32,12 +32,16 @@ import jax.numpy as jnp
 from gpupathtracer_tpu.ops.traverse import Hit, _safe_inv
 
 
-def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2"):
+def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2",
+               bvh=None):
     """Permutation grouping rays by nearest candidate treelet(s).
 
     key_mode "top1" groups by the nearest candidate; "top2" by the
     (nearest, second-nearest) pair — tighter packets when rays typically
-    have ~2 candidates (PERF.md: mean V = 1.97 on Sponza bounce rays).
+    have ~2 candidates (PERF.md: mean V = 1.97 on Sponza bounce rays);
+    "deep" refines top2's primary by the nearest CHILD slot of the
+    primary treelet's root (one [N]-row gather of its 8 child boxes —
+    ~8x finer primary grouping for ~70 ns/ray extra; needs `bvh`).
     Dead rays and rays with no candidate sort last (whole dead packets exit
     the kernel before their first pop)."""
     C = cut_bounds.shape[0]
@@ -48,14 +52,34 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2"):
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None]) & active[:, None]
     key = jnp.where(hit, tn, jnp.inf)
-    if key_mode == "top2":
+    if key_mode in ("top2", "deep"):
         negk, tids = jax.lax.top_k(-key, 2)         # 2 smallest entries
         t1_, t2_ = tids[:, 0], tids[:, 1]
         has1 = jnp.isfinite(negk[:, 0])
         has2 = jnp.isfinite(negk[:, 1])
-        skey = jnp.where(active & has1,
-                         t1_ * (C + 1) + jnp.where(has2, t2_, C),
-                         C * (C + 1) + C)
+        sec = jnp.where(has2, t2_, C)
+        if key_mode == "deep":
+            ce = bvh.cut_entry[t1_]                 # [N] treelet root entry
+            node = jnp.where(ce >= 0, ce, 0)
+            cb = bvh.child_bounds[node]             # [N, 8, 6] row gather
+            ct0 = (cb[..., 0:3] - o[:, None, :]) * inv[:, None, :]
+            ct1 = (cb[..., 3:6] - o[:, None, :]) * inv[:, None, :]
+            stn = jnp.max(jnp.minimum(ct0, ct1), axis=-1)   # [N, 8]
+            stf = jnp.min(jnp.maximum(ct0, ct1), axis=-1)
+            shit = (stn <= stf) & (stf > 0.0) & (stn < t_max[:, None])
+            sk = jnp.where(shit, stn, jnp.inf)
+            sub = jnp.argmin(sk, axis=1).astype(jnp.int32)
+            # Leaf-entry treelets have no children: one group (sub = 8).
+            sub = jnp.where((ce >= 0) & jnp.isfinite(jnp.min(sk, axis=1)),
+                            sub, 8)
+            prim_key = t1_ * 9 + sub
+            skey = jnp.where(active & has1,
+                             prim_key * (C + 1) + sec,
+                             9 * C * (C + 1) + C)
+        else:
+            skey = jnp.where(active & has1,
+                             t1_ * (C + 1) + sec,
+                             C * (C + 1) + C)
     else:
         tid = jnp.argmin(key, axis=1).astype(jnp.int32)
         has = jnp.isfinite(jnp.min(key, axis=1))
@@ -84,7 +108,7 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
 
     if perm is None:
         perm = _sort_perm(scene.bvh.cut_bounds, o, d, t_max, active,
-                          key_mode=key_mode)
+                          key_mode=key_mode, bvh=scene.bvh)
     # Single-gather payload: one [N, 8] row fetch instead of four.
     payload = jnp.concatenate(
         [o, d, t_max[:, None], active[:, None].astype(jnp.float32)],

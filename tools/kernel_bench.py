@@ -62,7 +62,8 @@ def main() -> None:
     ap.add_argument("--k", default="2048",
                     help="packet size, or comma-separated list to sweep")
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--ordered", type=int, default=1)
+    ap.add_argument("--ordered", default="1",
+                    help="1 = near-first descent; comma list to sweep")
     ap.add_argument("--stats", action="store_true",
                     help="also report pop counters (slower variant)")
     ap.add_argument("--sets", default="coherent,incoherent")
@@ -104,6 +105,7 @@ def main() -> None:
     N = args.n
     k_list = [int(s) for s in str(args.k).split(",")]
     ilv_list = [int(s) for s in str(args.interleave).split(",")]
+    ord_list = [int(s) for s in str(args.ordered).split(",")]
 
     cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
                        width=64, height=64, cache_enabled=True)
@@ -114,7 +116,7 @@ def main() -> None:
     print(f"# {args.scene}: rows={rows.shape} "
           f"({rows.size * rows.dtype.itemsize / 1e6:.1f} MB) "
           f"stack={meta.stack_depth} leaf={meta.leaf_size} "
-          f"K={k_list} N={N} ordered={args.ordered}", file=sys.stderr)
+          f"K={k_list} N={N} ordered={ord_list}", file=sys.stderr)
 
     # Coherent set: Morton-tiled primaries at a resolution covering N rays.
     w = 1 << math.ceil(math.log2(math.sqrt(N * 16 / 9)))
@@ -137,7 +139,7 @@ def main() -> None:
             print(f"# treelet cut: C={scene.bvh.cut_entry.shape[0]} "
                   f"cap_factor={args.cap_factor}", file=sys.stderr)
 
-            def run(o, d, K, with_stats=False, ilv=1):
+            def run(o, d, K, with_stats=False, ilv=1, ordered=None):
                 tmax = jnp.full((N,), 1e20, jnp.float32)
                 act = jnp.ones((N,), bool)
                 kw = dict(stack_depth=meta.stack_depth,
@@ -151,13 +153,15 @@ def main() -> None:
                 hit = trace_closest_treelet(scene, o, d, tmax, act, **kw)
                 return (hit.t, hit.prim, hit.u, hit.v,
                         jnp.zeros((1, 2), jnp.int32))
-        elif mode in ("tsort", "tsort2", "tsort-sub"):
+        elif mode in ("tsort", "tsort2", "tsort3", "tsort-sub"):
             from gpupathtracer_tpu.ops.tsort import (trace_closest_tsort,
                                                      trace_occluded_tsort)
+            # "tsort" = top1 key, "tsort2" = top2 (the library default);
+            # explicit so the mode names keep meaning across default flips.
             inner = "subpacket" if mode == "tsort-sub" else args.tsort_kernel
-            kmode = "top2" if mode == "tsort2" else "top1"
+            kmode = {"tsort2": "top2", "tsort3": "deep"}.get(mode, "top1")
 
-            def run(o, d, K, with_stats=False, ilv=1):
+            def run(o, d, K, with_stats=False, ilv=1, ordered=None):
                 tmax = jnp.full((N,), 1e20, jnp.float32)
                 act = jnp.ones((N,), bool)
                 kw = dict(stack_depth=meta.stack_depth,
@@ -174,7 +178,7 @@ def main() -> None:
             tfn = (traverse_subpacket if mode == "subpacket"
                    else traverse_pallas)
 
-            def run(o, d, K, with_stats=False, ilv=1):
+            def run(o, d, K, with_stats=False, ilv=1, ordered=None):
                 P = N // K
                 return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
                            jnp.full((P, K), 1e20, jnp.float32),
@@ -182,7 +186,8 @@ def main() -> None:
                            stack_depth=meta.stack_depth,
                            leaf_size=meta.leaf_size,
                            any_hit=args.any_hit,
-                           ordered=bool(args.ordered),
+                           ordered=bool(ord_list[0] if ordered is None
+                                        else ordered),
                            **({"multi_pop": args.multi_pop,
                                "interleave": ilv}
                               if mode == "packet" else {}),
@@ -209,19 +214,22 @@ def main() -> None:
     for mode in mode_list:
         run = make_run(mode)
         for K in k_list:
+          for od in ord_list:
             for ilv in ilv_list:
                 for name in args.sets.split(","):
                     o, d = rays[name]
-                    f = lambda o=o, d=d, K=K, ilv=ilv: run(o, d, K,
-                                                           ilv=ilv)[0]
+                    f = lambda o=o, d=d, K=K, ilv=ilv, od=od: \
+                        run(o, d, K, ilv=ilv, ordered=od)[0]
                     f()  # compile outside the timed region
                     med, spread = _median_net(
-                        f, lambda K=K, ilv=ilv: run(o_coh, d_coh, K,
-                                                    ilv=ilv)[0], args.reps)
+                        f, lambda K=K, ilv=ilv, od=od: run(
+                            o_coh, d_coh, K, ilv=ilv, ordered=od)[0],
+                        args.reps)
                     mrays = N / med / 1e6
                     tag = (mode if len(mode_list) > 1 else "") \
                         + f" K={K}" + (f" W={ilv}" if len(ilv_list) > 1
-                                       else "")
+                                       else "") \
+                        + (f" ord={od}" if len(ord_list) > 1 else "")
                     line = (f"{tag.strip()} {name}: {mrays:.2f} Mrays/s "
                             f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
                     if args.stats and mode in ("packet", "subpacket"):
@@ -236,7 +244,7 @@ def main() -> None:
                         if st.shape[1] > 2 and st[:, 2].sum() > 0:
                             line += f" | STACK OVERFLOWS={st[:, 2].sum()}"
                     print(line, flush=True)
-                    out[f"{mode}:{name}@{K}w{ilv}"] = round(mrays, 2)
+                    out[f"{mode}:{name}@{K}w{ilv}o{od}"] = round(mrays, 2)
     print(f"# summary {out}", file=sys.stderr)
 
 

@@ -29,7 +29,14 @@ def main() -> None:
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--spp-wave", type=int, default=512)
     ap.add_argument("--spp-ref", type=int, default=2048)
+    ap.add_argument("--skybox", default=None,
+                    help="default: WHITE for the env-lit bunny scene "
+                         "(it has no emitter), BLACK otherwise")
     args = ap.parse_args()
+    if args.skybox is None:
+        args.skybox = ("GENERATE COLOR WHITE"
+                       if args.scene == "proc:bunny"
+                       else "GENERATE COLOR BLACK")
 
     import numpy as np
 
@@ -38,9 +45,10 @@ def main() -> None:
     from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
 
-    cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
+    cfg = RenderConfig(scene_path=args.scene, skybox=args.skybox,
                        width=args.res, height=args.res,
-                       ray_chunk=args.res * args.res)
+                       ray_chunk=args.res * args.res,
+                       cache_enabled=True)
     if args.scene == "proc:cornell":
         cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
                                   fov=math.radians(45), aspect=1.0)
