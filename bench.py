@@ -173,6 +173,7 @@ def main() -> None:
         bcfg = RenderConfig(scene_path="proc:bathroom",
                             skybox="GENERATE COLOR BLACK",
                             width=bw, height=bh, integrator="wavefront",
+                            microfacet="beckmann",  # config-4 BSDF
                             max_bounces=64, ray_chunk=1 << 21,
                             cache_enabled=True)
         pos, yaw, pitch, fov, aperture, focus = default_camera("proc:bathroom")
@@ -200,6 +201,7 @@ def main() -> None:
         fcfg = RenderConfig(scene_path="proc:bathroom",
                             skybox="GENERATE COLOR BLACK",
                             width=fw, height=fh, integrator="wavefront",
+                            microfacet="beckmann",  # config-4 BSDF
                             max_bounces=64, ray_chunk=1 << 21,
                             cache_enabled=True)
         fcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,

@@ -69,6 +69,82 @@ def _collect_rows(entry: int, entry_all: np.ndarray, W: int,
                 stack.append(c)
 
 
+def _row_cut(node_rows: np.ndarray, W: int, entry_all: np.ndarray,
+             num_devices: int):
+    """Cut the tree by REACHABLE ROW COUNT, not surface area.
+
+    The treelet machinery's area-greedy cut (bvh/treelet.py) optimizes for
+    ray demand; for device load balance it can leave one subtree holding
+    half the table at any target (measured on proc:sponza: max 24.7k of
+    49.9k rows). Here the frontier entry with the most reachable rows is
+    expanded until no subtree exceeds ~total/(2D) (or the 8*D root budget
+    that the per-device synthetic root rows allow is exhausted).
+
+    Returns (entries [C], bounds [C, 6], counts [C])."""
+    D = int(num_devices)
+    bounds_all = node_rows[:W, 0:48].reshape(W, 8, 6)
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def rowcount(e: int) -> int:
+        if e < 0:
+            return 1
+        n = 1
+        for j in range(8):
+            c = int(entry_all[e, j])
+            if c != INVALID_ENTRY:
+                n += rowcount(c)
+        return n
+
+    # Iterative pre-pass so deep trees don't blow the recursion limit.
+    stack = [0]
+    post = []
+    seen = set()
+    while stack:
+        e = stack.pop()
+        if e < 0 or e in seen:
+            continue
+        seen.add(e)
+        post.append(e)
+        for j in range(8):
+            c = int(entry_all[e, j])
+            if c != INVALID_ENTRY and c >= 0:
+                stack.append(c)
+    for e in reversed(post):
+        rowcount(e)
+
+    total = rowcount(0)
+    budget = max(total // (2 * D), 1)
+    frontier = []  # (-count, tiebreak, entry, bounds)
+    import heapq
+    tb = 0
+    for j in range(8):
+        e = int(entry_all[0, j])
+        if e != INVALID_ENTRY:
+            heapq.heappush(frontier, (-rowcount(e), tb, e, bounds_all[0, j]))
+            tb += 1
+    while frontier and len(frontier) < 8 * D:
+        negc, _, e, bb = frontier[0]
+        if e < 0 or -negc <= budget:
+            break  # balanced enough (the heap top is the max subtree)
+        heapq.heappop(frontier)
+        for j in range(8):
+            c = int(entry_all[e, j])
+            if c != INVALID_ENTRY:
+                heapq.heappush(frontier, (-rowcount(c), tb, c,
+                                          bounds_all[e, j]))
+                tb += 1
+    items = [(e, bb, -negc) for negc, _, e, bb in frontier]
+    if not items:
+        items = [(0, np.array([-np.inf] * 3 + [np.inf] * 3, np.float32),
+                  total)]
+    entries = np.asarray([e for e, _, _ in items], np.int32)
+    bounds = np.stack([bb for _, bb, _ in items]).astype(np.float32)
+    counts = np.asarray([c for _, _, c in items], np.int64)
+    return entries, bounds, counts
+
+
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     num_devices: int) -> Partition:
     """Split the merged table into `num_devices` compact local tables."""
@@ -76,7 +152,7 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     W = int(num_wide_nodes)
     entry_all = node_rows[:W, 48:56].copy().view(np.int32)
 
-    cut_entry, cut_bounds = build_treelet_cut(node_rows, W, target=D)
+    cut_entry, cut_bounds, _ = _row_cut(node_rows, W, entry_all, D)
     C = len(cut_entry)
 
     # Reachable row count per cut entry (for balancing).
@@ -86,34 +162,47 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
         _collect_rows(int(e), entry_all, W, rows, seen)
         sub_rows.append(rows)
 
-    # LPT bin packing into D groups, capped at 8 roots per group (one
-    # synthetic root row holds at most 8 children).
+    # LPT bin packing into D groups by reachable row count. A group may
+    # hold more than 8 roots: the synthetic root grows a second level
+    # (up to 64 roots) when needed.
     order = np.argsort([-len(r) for r in sub_rows])
     group_of = [[] for _ in range(D)]
     load = [0] * D
     for i in order:
-        cands = sorted(range(D), key=lambda g: load[g])
-        g = next((g for g in cands if len(group_of[g]) < 8), cands[0])
+        g = int(np.argmin(load))
         group_of[g].append(int(i))
         load[g] += len(sub_rows[i])
 
-    # Build each device's table: synthetic root + remapped reachable rows.
+    def _synth_row(child_bounds, child_entries):
+        row = np.zeros((128,), node_rows.dtype)
+        rootb = np.zeros((8, 6), np.float32)
+        rootb[:, 0:3] = np.inf   # empty slots: inverted box + INVALID entry
+        rootb[:, 3:6] = -np.inf
+        roote = np.full((8,), INVALID_ENTRY, np.int32)
+        for j, (bb, e) in enumerate(zip(child_bounds, child_entries)):
+            rootb[j] = bb
+            roote[j] = e
+        row[0:48] = rootb.reshape(-1)
+        row[48:56] = roote.view(np.float32)
+        return row
+
+    # Build each device's table: synthetic root(s) + remapped rows.
     locals_ = []
     dev_bounds = np.zeros((D, 6), np.float32)
     num_rows = np.zeros((D,), np.int32)
     for g in range(D):
         members = group_of[g]
+        if len(members) > 64:
+            raise ValueError(f"partition group {g} has {len(members)} "
+                             f"roots; two-level synthetic root caps at 64")
         rows = []
         for i in members:
             rows.extend(sub_rows[i])
         rows = list(dict.fromkeys(rows))  # stable unique
-        remap = {old: new + 1 for new, old in enumerate(rows)}  # 0 = root
-        table = np.zeros((1 + len(rows), 128), node_rows.dtype)
-        # Synthetic root row: bounds/entries of the group's cut entries.
-        rootb = np.zeros((8, 6), np.float32)
-        rootb[:, 0:3] = np.inf   # empty slots: inverted box, never hits
-        rootb[:, 3:6] = -np.inf
-        roote = np.full((8,), INVALID_ENTRY, np.int32)
+        n_l2 = (len(members) + 7) // 8 if len(members) > 8 else 0
+        base = 1 + n_l2  # row 0 = root, rows 1..n_l2 = second level
+        remap = {old: new + base for new, old in enumerate(rows)}
+        table = np.zeros((base + len(rows), 128), node_rows.dtype)
 
         def _remap_entry(e: int) -> int:
             if e < 0:
@@ -121,11 +210,22 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                 return -((remap[packed >> 4] << 4) | (packed & 15)) - 1
             return remap[e]
 
-        for j, i in enumerate(members):
-            rootb[j] = cut_bounds[i]
-            roote[j] = _remap_entry(int(cut_entry[i]))
-        table[0, 0:48] = rootb.reshape(-1)
-        table[0, 48:56] = roote.view(np.float32)
+        if n_l2 == 0:
+            table[0] = _synth_row([cut_bounds[i] for i in members],
+                                  [_remap_entry(int(cut_entry[i]))
+                                   for i in members])
+        else:
+            l2_bounds = []
+            for k in range(n_l2):
+                chunk = members[k * 8:(k + 1) * 8]
+                table[1 + k] = _synth_row(
+                    [cut_bounds[i] for i in chunk],
+                    [_remap_entry(int(cut_entry[i])) for i in chunk])
+                bb = np.concatenate([
+                    cut_bounds[chunk][:, 0:3].min(0),
+                    cut_bounds[chunk][:, 3:6].max(0)])
+                l2_bounds.append(bb)
+            table[0] = _synth_row(l2_bounds, list(range(1, 1 + n_l2)))
         for old in rows:
             new = remap[old]
             table[new] = node_rows[old]

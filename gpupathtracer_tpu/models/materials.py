@@ -23,26 +23,36 @@ class MaterialInstance(NamedTuple):
 
 
 def make_material_instance(scene, mat_id, uv=None,
-                           textured: bool = False) -> MaterialInstance:
+                           textured: bool = False,
+                           row=None) -> MaterialInstance:
     """Gather material data for per-lane material ids [N].
+
+    All constant fields come from ONE [N, 16] row gather of the packed
+    mat_rows table (row gathers cost ~30 ns each width-independent,
+    PERF.md); callers in the hot loop can pass a pre-gathered `row` to
+    share it with their own field reads (e.g. the delta-material branch).
 
     With `textured` (static) and `uv`, albedo comes from the texture atlas
     for materials that have a map; constant albedo otherwise (the reference
     routes constants through 1x1 textures, Scene.cpp:100-104 — same value,
     no lookup needed, so untextured scenes compile without atlas gathers).
     """
-    albedo = scene.mat_albedo[mat_id]
-    g = scene.mat_rough_g[mat_id]
-    metallic = scene.mat_metallic[mat_id]
+    import jax.lax
+    if row is None:
+        row = scene.mat_rows[mat_id]          # [N, 16]
+    albedo = row[:, 0:3]
+    g = row[:, 3]
+    metallic = row[:, 4]
+    emission = row[:, 5:8]
     if textured and uv is not None:
         from gpupathtracer_tpu.ops.texture import sample_atlas
-        tex = scene.mat_albedo_tex[mat_id]
+        tex = jax.lax.bitcast_convert_type(row[:, 8], jnp.int32)
         albedo = jnp.where((tex >= 0)[:, None],
                            sample_atlas(scene.atlas_image, scene.atlas_rects,
                                         tex, uv), albedo)
         # Metallic-roughness map (glTF convention: G = roughness factor,
         # B = metallic factor; both multiply the material constants).
-        mr = scene.mat_mr_tex[mat_id]
+        mr = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
         mr_rgb = sample_atlas(scene.atlas_image, scene.atlas_rects, mr, uv)
         has_mr = mr >= 0
         g = jnp.where(has_mr, g * mr_rgb[:, 1], g)
@@ -52,5 +62,4 @@ def make_material_instance(scene, mat_id, uv=None,
                    + albedo * metallic[..., None])
     return MaterialInstance(
         albedo=albedo, roughness=roughness, roughness2=roughness * roughness,
-        metallic=metallic, reflectance=reflectance,
-        emission=scene.mat_emission[mat_id])
+        metallic=metallic, reflectance=reflectance, emission=emission)

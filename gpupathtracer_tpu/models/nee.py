@@ -34,18 +34,22 @@ class LightSample(NamedTuple):
 
 
 def sample_light_vertex(scene, u_select, u_tri):
-    """RandomLightVertex (Iterative.comp:34-82): CDF search + sqrt warp."""
+    """RandomLightVertex (Iterative.comp:34-82): CDF search + sqrt warp.
+
+    Returns (position, normal, emission), all read from ONE gather of the
+    packed per-emitter light_rows table (was 5 separate row gathers —
+    tri id, geometry, normal, mat id, emission — at ~30 ns each,
+    PERF.md round 3)."""
     selected = u_select * scene.total_light_area
     i = jnp.searchsorted(scene.light_cdf, selected, side="right")
-    i = jnp.clip(i, 0, scene.light_cdf.shape[0] - 1).astype(jnp.int32)
-    tri = scene.light_tri[i]
-    geom = scene.tri_geom[tri]
-    p0, e1, e2 = geom[..., 0:3], geom[..., 3:6], geom[..., 6:9]
+    i = jnp.clip(i, 0, scene.light_rows.shape[0] - 1).astype(jnp.int32)
+    row = scene.light_rows[i]                   # [N, 16]
+    p0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
     bu, bv, bt = sample_triangle_barycentrics(u_tri)
     # Position = p0*u + p1*v + p2*t with p1 = p0+e1, p2 = p0+e2
     # (Iterative.comp:62-76) => p0 + e1*v + e2*t.
     pos = p0 + e1 * bv[..., None] + e2 * bt[..., None]
-    return pos, scene.tri_normal[tri], scene.tri_mat[tri]
+    return pos, row[..., 9:12], row[..., 12:15]
 
 
 def sample_sun_vertex(scene, vertex_pos, u_disk):
@@ -96,8 +100,8 @@ def generate_light_sample(scene, vertex_pos, vertex_normal,
     0.5/sunArea (Iterative.comp:116-126). sun_mode="disk" replicates the
     reference's unit-distance disk; "cone" samples the true solid angle
     (see sample_sun_cone)."""
-    light_pos, light_n, light_mat = sample_light_vertex(scene, u_select, u_tri)
-    emission = scene.mat_emission[light_mat]
+    light_pos, light_n, emission = sample_light_vertex(scene, u_select,
+                                                       u_tri)
     delta = light_pos - vertex_pos
     radius = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
     light_pdf = 1.0 / scene.total_light_area  # inf when no emitters -> NEE = 0

@@ -184,14 +184,20 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
-        normal = scene.tri_normal[prim]
+        # ONE packed row gather for (normal, uv, mat id) — row gathers cost
+        # ~30 ns each width-independent, so 3 -> 1 per bounce is real frame
+        # time at 1080p (PERF.md round 3).
+        shade = scene.tri_shade[prim]             # [N, 16]
+        normal = shade[:, 0:3]
         pos = c.o + c.d * hit.t[..., None] + 0.003 * normal
         w = 1.0 - hit.u - hit.v
-        uvs = scene.tri_uv[prim]  # [N, 3, 2]
-        uv = (uvs[:, 1] * hit.u[..., None] + uvs[:, 2] * hit.v[..., None]
-              + uvs[:, 0] * w[..., None])
-        mat_id = jnp.where(miss, 0, scene.tri_mat[prim])
-        mat = make_material_instance(scene, mat_id, uv, textured)
+        uv = (shade[:, 5:7] * hit.u[..., None] + shade[:, 7:9] * hit.v[..., None]
+              + shade[:, 3:5] * w[..., None])
+        mat_id = jnp.where(
+            miss, 0,
+            jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32))
+        mrow = scene.mat_rows[mat_id]         # one [N, 16] material gather
+        mat = make_material_instance(scene, mat_id, uv, textured, row=mrow)
         view_dir = -c.d
         inter = make_interaction(normal, view_dir)
 
@@ -219,7 +225,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # Delta materials (mirror/refractive — MATERIAL_TYPE enum declared
         # but unimplemented in the reference, Material.glsl:15-17).
         if delta:
-            mtype = scene.mat_type[mat_id]
+            mtype = jax.lax.bitcast_convert_type(mrow[:, 10], jnp.int32)
             is_mirror = mtype == 3
             is_glass = mtype == 2
             is_delta = is_mirror | is_glass
@@ -290,7 +296,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             ndd = jnp.sum(normal * c.d, axis=-1, keepdims=True)
             mir_dir = c.d - 2.0 * ndd * normal
             # Refraction (Snell + Schlick-Fresnel reflect/refract choice).
-            ior = scene.mat_ior[mat_id]
+            ior = mrow[:, 11]
             cosi = -ndd[:, 0]
             entering = cosi >= 0.0
             n_eff = jnp.where(entering[:, None], normal, -normal)

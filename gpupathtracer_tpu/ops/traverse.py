@@ -216,6 +216,10 @@ def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
         scene.bvh.node_rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
         t_max.reshape(P, K), active.reshape(P, K),
         stack_depth=stack_depth, leaf_size=leaf_size,
+        # Occlusion queries skip the near-first sort network: the packed-
+        # bits push is ~3x cheaper per pop and ordering buys any-hit
+        # nothing (measured 14.5 vs 5.0 Mrays/s incoherent, PERF.md r3).
+        ordered=not any_hit_mode,
         any_hit=any_hit_mode, interleave=interleave, interpret=interpret)
     return Hit(t=t.reshape(-1)[:n], prim=prim.reshape(-1)[:n],
                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])

@@ -137,6 +137,7 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
             scene.bvh.node_rows, o_s.reshape(P, K, 3), d_s.reshape(P, K, 3),
             t_s.reshape(P, K), a_s.reshape(P, K),
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+            ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
             interleave=interleave, interpret=interpret)
     # Single-scatter unpermute: pack (t, prim-bits, u, v) as one [N, 4] row.
     res = jnp.stack([t.reshape(NP)[:n],

@@ -66,6 +66,7 @@ def _local_trace(table, o, d, t_max, active, *, stack_depth, leaf_size,
         table, o.reshape(Pk, K, 3), d.reshape(Pk, K, 3),
         t_max.reshape(Pk, K), active.reshape(Pk, K),
         stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
+        ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
         interpret=interpret)
     return (t.reshape(NP)[:n], prim.reshape(NP)[:n],
             u.reshape(NP)[:n], v.reshape(NP)[:n])

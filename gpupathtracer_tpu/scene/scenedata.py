@@ -31,6 +31,19 @@ class SceneData(NamedTuple):
     tri_normal: jnp.ndarray    # [T, 3] geometric normal
     tri_uv: jnp.ndarray        # [T, 3, 2]
     tri_mat: jnp.ndarray       # [T] i32
+    # Packed per-triangle shading row: ONE [T, 16] gather per bounce where
+    # the integrator used three (normal / uv / mat id) — XLA row gathers
+    # cost ~30 ns each regardless of width (PERF.md), so the hot loop pays
+    # per-ROW, not per-column. Cols 0:3 normal, 3:9 uv (3 x 2), 9 mat-id
+    # bits (i32 bit-cast), rest pad.
+    tri_shade: jnp.ndarray     # [T, 16] f32
+    # Packed per-material row (same one-gather rationale): 0:3 albedo,
+    # 3 rough_g, 4 metallic, 5:8 emission, 8 albedo-tex bits, 9 mr-tex
+    # bits, 10 type bits, 11 ior, rest pad.
+    mat_rows: jnp.ndarray      # [M, 16] f32
+    # Packed per-emitter row: 0:3 p0, 3:6 e1, 6:9 e2, 9:12 normal,
+    # 12:15 emission, 15 pad (the CDF search stays on light_cdf).
+    light_rows: jnp.ndarray    # [L, 16] f32
     # Materials
     mat_albedo: jnp.ndarray    # [M, 3]
     mat_rough_g: jnp.ndarray   # [M]
@@ -139,11 +152,44 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
             np.asarray(wide.node_rows), stats.num_wide_nodes)
         wide = wide._replace(cut_entry=cut_entry, cut_bounds=cut_bounds)
 
+    T = soup.num_triangles
+    shade = np.zeros((max(T, 1), 16), np.float32)
+    if T:
+        shade[:, 0:3] = soup.normal
+        shade[:, 3:9] = soup.uv.reshape(T, 6)
+        shade[:, 9] = soup.mat.astype(np.int32).view(np.float32)
+
+    M = int(table.albedo.shape[0])
+    mrows = np.zeros((max(M, 1), 16), np.float32)
+    if M:
+        mrows[:, 0:3] = table.albedo
+        mrows[:, 3] = table.rough_g
+        mrows[:, 4] = table.metallic
+        mrows[:, 5:8] = table.emission
+        mrows[:, 8] = np.asarray(table.albedo_tex,
+                                 np.int32).view(np.float32)
+        mr_tex = (table.mr_tex if table.mr_tex is not None
+                  else np.full_like(table.albedo_tex, -1))
+        mrows[:, 9] = np.asarray(mr_tex, np.int32).view(np.float32)
+        mrows[:, 10] = np.asarray(table.mtype, np.int32).view(np.float32)
+        mrows[:, 11] = table.ior
+
+    L = int(idx.size)
+    lrows = np.zeros((max(L, 1), 16), np.float32)
+    if L:
+        lgeom = pack_tri_geom(soup.p0, soup.e1, soup.e2)[idx]
+        lrows[:, 0:9] = lgeom
+        lrows[:, 9:12] = soup.normal[idx]
+        lrows[:, 12:15] = table.emission[soup.mat[idx]]
+
     data = SceneData(
         tri_geom=jnp.asarray(pack_tri_geom(soup.p0, soup.e1, soup.e2)),
         tri_normal=jnp.asarray(soup.normal),
         tri_uv=jnp.asarray(soup.uv),
         tri_mat=jnp.asarray(soup.mat),
+        tri_shade=jnp.asarray(shade),
+        mat_rows=jnp.asarray(mrows),
+        light_rows=jnp.asarray(lrows),
         mat_albedo=jnp.asarray(table.albedo),
         mat_rough_g=jnp.asarray(table.rough_g),
         mat_metallic=jnp.asarray(table.metallic),
