@@ -64,6 +64,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
                        compaction_min: int = 2048,
                        sampler: str = "random",
+                       partition=None,
+                       partition_axis: str = "",
+                       num_chips: int = 0,
                        sample_idx=0):
     """Trace one sample for each pixel lane.
 
@@ -72,11 +75,43 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
       cam: CameraParams.
       pixel_x, pixel_y: [N] int32 pixel coordinates for each lane.
       key: threefry key for this (sample, chunk).
+      partition: optional (local_table [M', 128], dev_bounds [D, 6]) —
+        scene-PARTITIONED multi-chip mode (parallel/partition.py): must be
+        called inside shard_map over `partition_axis` with `num_chips`
+        devices; every traversal rides the ppermute ring against per-chip
+        subtree tables, and every wavefront loop condition becomes a psum
+        so all chips execute the collectives in lockstep.
     Returns ([N, 3] radiance contributions, scalar i32 rays traced) — the
     ray counter plays the role of the reference's device-side globalNextRay
     statistics for Mrays/s reporting (SURVEY.md §5 tracing).
     """
     n = pixel_x.shape[0]
+    if partition is not None:
+        # Scene-partitioned mode: traversal is the ring, not a local
+        # kernel choice; lane-reordering machinery stays off.
+        traversal = "partition"
+        bounce_traversal = "same"
+        sort_rays = False
+        from gpupathtracer_tpu.parallel.partition import \
+            trace_partitioned_local
+        part_table, part_bounds = partition
+
+    def g_alive_any(c):
+        """Loop condition, collective under partitioning: every chip must
+        run the same while iterations or the in-body ppermutes deadlock."""
+        a = jnp.any(c.alive)
+        if partition is None:
+            return a
+        return jax.lax.psum(a.astype(jnp.int32), partition_axis) > 0
+
+    def g_alive_max(c):
+        """Per-chip max alive count (phase-transition safety: a chip may
+        only shrink to the next buffer once ITS live count fits)."""
+        s = jnp.sum(c.alive)
+        if partition is None:
+            return s
+        return jax.lax.pmax(s, partition_axis)
+
     key, k_jitter, k_lens = jax.random.split(key, 3)
     if sampler == "ld":
         # Low-discrepancy pixel jitter: shared R2 point per sample index,
@@ -157,11 +192,20 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # already groups by destination treelet, so the shadow rays get
         # grouping for one gather + scatter instead of a fresh sort.
         shared_perm = None
-        if trav == "tsort" and shadow_sort and nee:
+        if trav == "tsort" and shadow_sort and nee and partition is None:
             from gpupathtracer_tpu.ops.tsort import _sort_perm
             shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
                                      t_max_full, c.alive, bvh=scene.bvh)
-        if sort_rays and trav != "perray":
+        if partition is not None:
+            from gpupathtracer_tpu.ops.traverse import Hit
+            tt_, pp_, uu_, vv_ = trace_partitioned_local(
+                part_table, part_bounds, c.o, c.d, t_max_full, c.alive,
+                axis_name=partition_axis, num_devices=num_chips,
+                stack_depth=stack_depth, leaf_size=leaf_size,
+                packet_size=max(packet_size, 128),
+                interpret=jax.default_backend() != "tpu")
+            hit = Hit(t=tt_, prim=pp_, u=uu_, v=vv_)
+        elif sort_rays and trav != "perray":
             perm = ray_sort_perm(c.o, c.d, c.alive)
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
                                   c.alive[perm], stack_depth=stack_depth,
@@ -256,7 +300,15 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             # than closest-hit, PERF.md round 3). shadow_sort instead
             # REUSES the bounce permutation — grouping for one
             # gather + scatter, no key/argsort.
-            if shared_perm is not None:
+            if partition is not None:
+                _, pp_s, _, _ = trace_partitioned_local(
+                    part_table, part_bounds, so, sd, st_, alive,
+                    axis_name=partition_axis, num_devices=num_chips,
+                    stack_depth=stack_depth, leaf_size=leaf_size,
+                    packet_size=max(packet_size, 128), any_hit=True,
+                    interpret=jax.default_backend() != "tpu")
+                occluded = pp_s >= 0
+            elif shared_perm is not None:
                 from gpupathtracer_tpu.ops.tsort import trace_occluded_tsort
                 occluded = trace_occluded_tsort(
                     scene, so, sd, st_, alive, stack_depth=stack_depth,
@@ -375,11 +427,11 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         nxt = widths[j + 1] if j + 1 < len(widths) else None
         bodyj = partial(body, trav=trav_for(widths[j]))
         if nxt is None:
-            c = jax.lax.while_loop(lambda c: jnp.any(c.alive) & cap(c),
+            c = jax.lax.while_loop(lambda c: g_alive_any(c) & cap(c),
                                    bodyj, c)
         else:
             c = jax.lax.while_loop(
-                lambda c: (jnp.sum(c.alive) > nxt) & cap(c), bodyj, c)
+                lambda c: (g_alive_max(c) > nxt) & cap(c), bodyj, c)
         # Fold this phase's contributions back into film-lane space.
         if src is None:
             total = c.contribution
@@ -402,7 +454,8 @@ _STATICS = (
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
     "textured", "sun", "sun_mode", "sort_rays", "shadow_rev",
     "shadow_sort", "delta",
-    "compaction", "compaction_divs", "compaction_min", "sampler")
+    "compaction", "compaction_divs", "compaction_min", "sampler",
+    "partition_axis", "num_chips")
 
 render_sample = partial(jax.jit, static_argnames=_STATICS)(
     render_sample_impl)

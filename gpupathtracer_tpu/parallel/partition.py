@@ -131,6 +131,61 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
     return t, prim, u, v
 
 
+def strip_scene_bvh(scene):
+    """Scene pytree for the partitioned render step: the merged BVH table
+    is NOT replicated (that is the point — each chip holds only its
+    subtree slice); every bvh array is cut to its first row, keeping the
+    pytree shape valid and the root-bounds helper row the integrator's
+    sort-cell code reads. Shading tables (tri_shade/mat_rows/light_rows),
+    materials, and the environment stay replicated — they are small and
+    any chip may shade a hit found in any other chip's subtree."""
+    b = scene.bvh
+    return scene._replace(bvh=b._replace(
+        child_bounds=b.child_bounds[:1], child_entry=b.child_entry[:1],
+        refs=b.refs[:1], node_rows=b.node_rows[:1],
+        packet_entry=(b.packet_entry[:1]
+                      if b.packet_entry is not None else None),
+        cut_entry=b.cut_entry[:1] if b.cut_entry is not None else None,
+        cut_bounds=b.cut_bounds[:1] if b.cut_bounds is not None else None))
+
+
+def render_sample_partitioned(mesh: Mesh, tables, dev_bounds, scene, cam,
+                              pixel_x, pixel_y, key, sample_base=0,
+                              axis: str = "chips", **static):
+    """One scene-PARTITIONED multi-chip frame: pixels sharded over the
+    chips axis, the BVH table partitioned per chip, every traversal
+    riding the ppermute ring (models/wavefront.py partition mode).
+
+    The distributed-memory counterpart of parallel/mesh.py's replicated
+    sharding: D chips hold D-fold smaller resident trees — the regime
+    where the packet kernel beats the throughput target (PERF.md
+    scene-size curve) — at the cost of ~44 B/ray/hop of ICI traffic.
+
+    pixel_x/pixel_y are the FULL ray-ordered arrays [N]; N must divide
+    the chips axis. Returns ([N, 3] radiance, scalar rays traced)."""
+    from functools import partial as _partial
+
+    from gpupathtracer_tpu.models.wavefront import render_sample_impl
+
+    D = mesh.shape[axis]
+    scene_s = strip_scene_bvh(scene)
+
+    @_partial(jax.shard_map, mesh=mesh,
+              in_specs=(P(), P(), P(axis), P(), P(axis), P(axis), P(), P()),
+              out_specs=(P(axis), P()),
+              check_vma=False)
+    def step(scene, cam, table, bounds, px, py, key, sample_base):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis) + 7177)
+        contribution, rays = render_sample_impl(
+            scene, cam, px, py, key,
+            partition=(table[0], bounds), partition_axis=axis,
+            num_chips=D, sample_idx=sample_base, **static)
+        return contribution, jax.lax.psum(rays, axis)
+
+    return step(scene_s, cam, tables, dev_bounds, pixel_x, pixel_y, key,
+                jnp.asarray(sample_base, jnp.int32))
+
+
 def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
                               active, *, stack_depth: int, leaf_size: int,
                               packet_size: int = 2048,
