@@ -79,6 +79,8 @@ class RenderConfig:
     shadow_rev: bool = False               # trace NEE shadow rays from the light end
     shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
+    compaction: bool = True                # bounce-epoch live-path compaction
+    compaction_divs: Tuple[int, ...] = (4, 16, 64)  # phase width schedule (PERF.md r3 sweep)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet

@@ -171,6 +171,8 @@ class Renderer:
             sampler=self.cfg.sampler,
             shadow_rev=self.cfg.shadow_rev,
             shadow_sort=self.cfg.shadow_sort,
+            compaction=self.cfg.compaction,
+            compaction_divs=tuple(self.cfg.compaction_divs),
             width=self.pad_w, height=self.pad_h,
             max_bounces=self.cfg.max_bounces,
             stack_depth=self.meta.stack_depth,
@@ -190,6 +192,8 @@ class Renderer:
         py = self.pixel_y[sl]
         kwargs = dict(width=self.pad_w, height=self.pad_h,
                       max_bounces=self.cfg.max_bounces,
+                      compaction=self.cfg.compaction,
+                      compaction_divs=tuple(self.cfg.compaction_divs),
                       stack_depth=self.meta.stack_depth,
                       leaf_size=self.meta.leaf_size,
                       model=self.cfg.microfacet,
@@ -240,13 +244,16 @@ class Renderer:
             kwargs.pop("sun_mode", None)  # reference: sun-on-miss only
             kwargs.pop("bounce_traversal", None)
             kwargs.pop("treelet_min", None)
+            kwargs.pop("compaction", None)
+            kwargs.pop("compaction_divs", None)
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
         if integrator == "ao":
             from gpupathtracer_tpu.models.ao import render_sample_ao
             for k in ("max_bounces", "model", "textured", "sun", "delta",
-                      "sun_mode", "bounce_traversal", "treelet_min"):
+                      "sun_mode", "bounce_traversal", "treelet_min",
+                      "compaction", "compaction_divs"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
                                     **kwargs)

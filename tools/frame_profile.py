@@ -39,6 +39,16 @@ VARIANTS = {
     "shadowrev": dict(bounce_traversal="same", shadow_rev=True),
     "tsort-shadowrev": dict(bounce_traversal="tsort", shadow_rev=True),
     "tsort-shadowsort": dict(bounce_traversal="tsort", shadow_sort=True),
+    # compaction bisect: phase-transition argsort+gather cost
+    "tsort-nocompact": dict(bounce_traversal="tsort", shadow_sort=True,
+                            compaction=False),
+    # coarser compaction schedule: fewer transitions
+    "tsort-coarse": dict(bounce_traversal="tsort", shadow_sort=True,
+                         compaction_divs=(4, 16, 64)),
+    "tsort-coarse2": dict(bounce_traversal="tsort", shadow_sort=True,
+                          compaction_divs=(8, 64)),
+    "tsort-coarse3": dict(bounce_traversal="tsort", shadow_sort=True,
+                          compaction_divs=(4, 32, 256)),
 }
 
 names = sys.argv[1].split(",") if len(sys.argv) > 1 else ["full", "nonee"]
