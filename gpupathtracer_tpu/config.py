@@ -109,7 +109,8 @@ class RenderConfig:
             cfg.camera = CameraConfig(**{k: _tup(k, v) for k, v in cam.items()
                                          if k in _CC_FIELDS})
         # JSON round-trips tuples as lists
-        for k in ("sun_direction", "sun_emission", "mesh_shape"):
+        for k in ("sun_direction", "sun_emission", "mesh_shape",
+                  "compaction_divs"):
             setattr(cfg, k, tuple(getattr(cfg, k)))
         return cfg
 

@@ -162,12 +162,21 @@ def render_sample_partitioned(mesh: Mesh, tables, dev_bounds, scene, cam,
     scene-size curve) — at the cost of ~44 B/ray/hop of ICI traffic.
 
     pixel_x/pixel_y are the FULL ray-ordered arrays [N]; N must divide
-    the chips axis. Returns ([N, 3] radiance, scalar rays traced)."""
+    the chips axis. Returns ([N, 3] radiance, scalar rays traced).
+
+    With a 2-axis mesh ("samples", "chips") the step composes
+    data-parallel sample sharding OVER the scene partition — the full
+    v5e-8 shape (e.g. 2 sample replicas x 4 subtree owners): each
+    samples-row renders an independent spp of the same pixels, the ring
+    collectives stay within each row's chips sub-axis, and contributions
+    psum over "samples". Callers then treat the result as
+    `samples_axis_size` accumulated spp (parallel/mesh.py convention)."""
     from functools import partial as _partial
 
     from gpupathtracer_tpu.models.wavefront import render_sample_impl
 
     D = mesh.shape[axis]
+    has_samples = "samples" in mesh.axis_names
     scene_s = strip_scene_bvh(scene)
 
     @_partial(jax.shard_map, mesh=mesh,
@@ -175,11 +184,19 @@ def render_sample_partitioned(mesh: Mesh, tables, dev_bounds, scene, cam,
               out_specs=(P(axis), P()),
               check_vma=False)
     def step(scene, cam, table, bounds, px, py, key, sample_base):
+        sidx = sample_base
+        if has_samples:
+            s = jax.lax.axis_index("samples")
+            key = jax.random.fold_in(key, s)
+            sidx = sample_base + s
         key = jax.random.fold_in(key, jax.lax.axis_index(axis) + 7177)
         contribution, rays = render_sample_impl(
             scene, cam, px, py, key,
             partition=(table[0], bounds), partition_axis=axis,
-            num_chips=D, sample_idx=sample_base, **static)
+            num_chips=D, sample_idx=sidx, **static)
+        if has_samples:
+            contribution = jax.lax.psum(contribution, "samples")
+            rays = jax.lax.psum(rays, "samples")
         return contribution, jax.lax.psum(rays, axis)
 
     return step(scene_s, cam, tables, dev_bounds, pixel_x, pixel_y, key,

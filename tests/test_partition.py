@@ -178,3 +178,43 @@ def test_partitioned_render_step(bunny):
     c2, _ = render_sample_partitioned(mesh, tables, dev_bounds, scene,
                                       cam, px, py, key, **static)
     np.testing.assert_array_equal(c, np.asarray(c2))
+
+
+def test_partitioned_render_with_samples_axis(bunny):
+    """(samples, chips) composition: data-parallel sample replicas over
+    the scene partition — 2 sample rows x 4 subtree owners on the CPU
+    mesh. The ring collectives stay within each row's chips sub-axis."""
+    import math
+
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.math.camera import generate_image_plane
+    from gpupathtracer_tpu.parallel.partition import \
+        render_sample_partitioned
+    from gpupathtracer_tpu.scene import load_scene
+
+    cfg = RenderConfig(scene_path="proc:cornell",
+                       skybox="GENERATE COLOR BLACK",
+                       width=16, height=16, cache_enabled=True)
+    cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                              fov=math.radians(45), aspect=1.0)
+    scene, meta = load_scene(cfg)
+    cam = generate_image_plane(cfg.camera)
+    part = build_partition(np.asarray(scene.bvh.node_rows),
+                           scene.bvh.child_bounds.shape[0], 4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("samples", "chips"))
+    tables, dev_bounds = shard_partition(part, mesh)
+
+    N = 256
+    idx = np.arange(N)
+    px = jnp.asarray((idx % 16).astype(np.float32))
+    py = jnp.asarray((idx // 16).astype(np.float32))
+    c, rays = render_sample_partitioned(
+        mesh, tables, dev_bounds, scene, cam, px, py,
+        jax.random.PRNGKey(2), width=16, height=16, max_bounces=2,
+        stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+        nee=True, compaction=False)
+    c = np.asarray(c)
+    # 2 accumulated samples per pixel, summed over the samples axis.
+    assert c.shape == (N, 3) and np.isfinite(c).all() and c.mean() > 0
+    assert int(rays) > 2 * N
