@@ -78,6 +78,7 @@ class RenderConfig:
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     shadow_rev: bool = False               # trace NEE shadow rays from the light end
     shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
+    tsort_alternate: bool = False          # recompute the tsort perm on even bounces only
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
     compaction: bool = True                # bounce-epoch live-path compaction
     compaction_divs: Tuple[int, ...] = (4, 16, 64)  # phase width schedule (PERF.md r3 sweep)

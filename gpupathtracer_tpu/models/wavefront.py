@@ -59,6 +59,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        sort_rays: bool = False,
                        shadow_rev: bool = False,
                        shadow_sort: bool = False,
+                       tsort_alternate: bool = False,
                        delta: bool = False,
                        compaction: bool = True,
                        compaction_divs: tuple = (2, 4, 8, 16, 32, 64, 128),
@@ -167,6 +168,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         last_pos: jnp.ndarray
         alive: jnp.ndarray
         rays: jnp.ndarray
+        perm: jnp.ndarray  # carried tsort permutation (tsort_alternate)
 
     init = Carry(
         i=jnp.int32(0), key=key, o=ray_o, d=ray_d,
@@ -177,6 +179,10 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         last_pos=ray_o,
         alive=jnp.ones((n,), bool),
         rays=jnp.int32(0),
+        # Zero-size unless the alternation actually carries a perm, so the
+        # default path's loop carry (and compiled graph) is unaffected.
+        perm=(jnp.arange(n, dtype=jnp.int32) if tsort_alternate
+              else jnp.zeros((0,), jnp.int32)),
     )
 
     def body(c: Carry, trav: str = traversal) -> Carry:
@@ -194,8 +200,21 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         shared_perm = None
         if trav == "tsort" and shadow_sort and nee and partition is None:
             from gpupathtracer_tpu.ops.tsort import _sort_perm
-            shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
-                                     t_max_full, c.alive, bvh=scene.bvh)
+            if tsort_alternate:
+                # Alternate-bounce permutation reuse: the key+argsort half
+                # of the sort machinery (~65 ns/ray) runs on even bounces
+                # only; odd bounces reuse the previous grouping (rays stay
+                # in their lanes between bounces, so the stale perm is
+                # still a valid — just less subtree-coherent — grouping).
+                shared_perm = jax.lax.cond(
+                    c.i % 2 == 0,
+                    lambda: _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
+                                       t_max_full, c.alive, bvh=scene.bvh),
+                    lambda: c.perm)
+            else:
+                shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
+                                         t_max_full, c.alive,
+                                         bvh=scene.bvh)
         if partition is not None:
             from gpupathtracer_tpu.ops.traverse import Hit
             tt_, pp_, uu_, vv_ = trace_partitioned_local(
@@ -333,7 +352,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             return Carry(i=c.i + 1, key=key, o=pos, d=c.d,
                          throughput=c.throughput, contribution=contribution,
                          pdf0=c.pdf0, pdf1=c.pdf1, last_pos=pos,
-                         alive=jnp.zeros((nw,), bool), rays=rays)
+                         alive=jnp.zeros((nw,), bool), rays=rays,
+                         perm=(shared_perm if tsort_alternate
+                               and shared_perm is not None else c.perm))
 
         inter_b, pdf0, pdf1 = generate_importance_sample(
             mat, inter, rnd[:, 3], rnd[:, 4:6], model)
@@ -387,7 +408,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         return Carry(i=c.i + 1, key=key, o=new_o, d=new_d,
                      throughput=throughput, contribution=contribution,
                      pdf0=pdf0, pdf1=pdf1, last_pos=pos, alive=alive,
-                     rays=rays)
+                     rays=rays,
+                     perm=(shared_perm if tsort_alternate
+                           and shared_perm is not None else c.perm))
 
     # --- Bounce-epoch live-path compaction --------------------------------
     # Role of the persistent-thread refill (Iterative.comp:174-210, 261-300):
@@ -445,7 +468,12 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                       contribution=jnp.zeros((nxt, 3), jnp.float32),
                       pdf0=c.pdf0[order], pdf1=c.pdf1[order],
                       last_pos=c.last_pos[order], alive=c.alive[order],
-                      rays=c.rays)
+                      rays=c.rays,
+                      # Stale perm contents index pre-gather lanes:
+                      # reset to identity at the new width.
+                      perm=(jnp.arange(nxt, dtype=jnp.int32)
+                            if tsort_alternate
+                            else jnp.zeros((0,), jnp.int32)))
     return total, c.rays
 
 
@@ -453,7 +481,7 @@ _STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
     "textured", "sun", "sun_mode", "sort_rays", "shadow_rev",
-    "shadow_sort", "delta",
+    "shadow_sort", "tsort_alternate", "delta",
     "compaction", "compaction_divs", "compaction_min", "sampler",
     "partition_axis", "num_chips")
 

@@ -171,6 +171,7 @@ class Renderer:
             sampler=self.cfg.sampler,
             shadow_rev=self.cfg.shadow_rev,
             shadow_sort=self.cfg.shadow_sort,
+            tsort_alternate=self.cfg.tsort_alternate,
             compaction=self.cfg.compaction,
             compaction_divs=tuple(self.cfg.compaction_divs),
             width=self.pad_w, height=self.pad_h,
@@ -221,6 +222,7 @@ class Renderer:
                                  sort_rays=self.cfg.sort_rays,
                                  shadow_rev=self.cfg.shadow_rev,
                                  shadow_sort=self.cfg.shadow_sort,
+                                 tsort_alternate=self.cfg.tsort_alternate,
                                  sampler=self.cfg.sampler,
                                  sample_idx=self.num_samples, **kwargs)
         if integrator == "direct":

@@ -73,6 +73,36 @@ def test_tsort_occluded_matches_perray():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
 
 
+def test_tsort_alternate_bitwise_equals_default():
+    """cfg.tsort_alternate only changes packet GROUPING (odd bounces reuse
+    the previous bounce's permutation); per-ray traversal results are exact
+    regardless of grouping, so the render must be bitwise identical.
+    (Measured loss at 1080p — kept opt-in, PERF.md session 6.)"""
+    import math
+
+    import jax
+
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.render import Renderer
+
+    def cfg(alt):
+        c = RenderConfig(scene_path="proc:cornell",
+                         skybox="GENERATE COLOR BLACK",
+                         width=24, height=24, ray_chunk=24 * 24,
+                         bounce_traversal="tsort", treelet_min=1,
+                         shadow_sort=True, tsort_alternate=alt,
+                         max_bounces=4)
+        c.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                                fov=math.radians(45), aspect=1.0)
+        return c
+
+    ra = Renderer(cfg(False))
+    ra.render_frame("wavefront")
+    rb = Renderer(cfg(True), scene=ra.scene, meta=ra.meta)
+    rb.render_frame("wavefront")
+    np.testing.assert_array_equal(np.asarray(ra.accum), np.asarray(rb.accum))
+
+
 def test_interleaved_kernel_matches_single():
     """_kernel_ilv (W co-scheduled packets) == the single-pop kernel."""
     scene, wide, _, depth = _scene(seed=9, n=350)

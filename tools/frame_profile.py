@@ -49,6 +49,9 @@ VARIANTS = {
                           compaction_divs=(8, 64)),
     "tsort-coarse3": dict(bounce_traversal="tsort", shadow_sort=True,
                           compaction_divs=(4, 32, 256)),
+    # alternate-bounce perm reuse (skip key+argsort on odd bounces)
+    "tsort-alt": dict(bounce_traversal="tsort", shadow_sort=True,
+                      tsort_alternate=True),
 }
 
 names = sys.argv[1].split(",") if len(sys.argv) > 1 else ["full", "nonee"]
