@@ -247,20 +247,20 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
-        # ONE packed row gather for (normal, uv, mat id) — row gathers cost
-        # ~30 ns each width-independent, so 3 -> 1 per bounce is real frame
-        # time at 1080p (PERF.md round 3).
-        shade = scene.tri_shade[prim]             # [N, 16]
+        # ONE packed row gather for (normal, uv, mat id, MATERIAL row) — row
+        # gathers cost ~30 ns each width-independent, so the per-triangle
+        # pre-join (scenedata.py: cols 16:32 = mat_rows[tri.mat]) removes
+        # the mat_rows[mat_id] gather from every lane-bounce (PERF.md r3).
+        shade = scene.tri_shade[prim]             # [N, 32]
         normal = shade[:, 0:3]
         pos = c.o + c.d * hit.t[..., None] + 0.003 * normal
         w = 1.0 - hit.u - hit.v
         uv = (shade[:, 5:7] * hit.u[..., None] + shade[:, 7:9] * hit.v[..., None]
               + shade[:, 3:5] * w[..., None])
-        mat_id = jnp.where(
-            miss, 0,
-            jax.lax.bitcast_convert_type(shade[:, 9], jnp.int32))
-        mrow = scene.mat_rows[mat_id]         # one [N, 16] material gather
-        mat = make_material_instance(scene, mat_id, uv, textured, row=mrow)
+        # Miss lanes carry triangle 0's material row — a valid row; every
+        # use below is masked by miss/alive.
+        mrow = shade[:, 16:32]
+        mat = make_material_instance(scene, None, uv, textured, row=mrow)
         view_dir = -c.d
         inter = make_interaction(normal, view_dir)
 

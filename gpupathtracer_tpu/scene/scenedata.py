@@ -36,7 +36,7 @@ class SceneData(NamedTuple):
     # cost ~30 ns each regardless of width (PERF.md), so the hot loop pays
     # per-ROW, not per-column. Cols 0:3 normal, 3:9 uv (3 x 2), 9 mat-id
     # bits (i32 bit-cast), rest pad.
-    tri_shade: jnp.ndarray     # [T, 16] f32
+    tri_shade: jnp.ndarray     # [T, 32] f32 (shade cols 0:16, mat row 16:32)
     # Packed per-material row (same one-gather rationale): 0:3 albedo,
     # 3 rough_g, 4 metallic, 5:8 emission, 8 albedo-tex bits, 9 mr-tex
     # bits, 10 type bits, 11 ior, rest pad.
@@ -152,13 +152,6 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
             np.asarray(wide.node_rows), stats.num_wide_nodes)
         wide = wide._replace(cut_entry=cut_entry, cut_bounds=cut_bounds)
 
-    T = soup.num_triangles
-    shade = np.zeros((max(T, 1), 16), np.float32)
-    if T:
-        shade[:, 0:3] = soup.normal
-        shade[:, 3:9] = soup.uv.reshape(T, 6)
-        shade[:, 9] = soup.mat.astype(np.int32).view(np.float32)
-
     M = int(table.albedo.shape[0])
     mrows = np.zeros((max(M, 1), 16), np.float32)
     if M:
@@ -173,6 +166,19 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         mrows[:, 9] = np.asarray(mr_tex, np.int32).view(np.float32)
         mrows[:, 10] = np.asarray(table.mtype, np.int32).view(np.float32)
         mrows[:, 11] = table.ior
+
+    # Per-triangle shading row with the triangle's MATERIAL row pre-joined
+    # (cols 16:32 = mat_rows[tri.mat]): the wavefront hot loop then pays ONE
+    # [N, 32] row gather per bounce instead of tri_shade[prim] followed by
+    # mat_rows[mat_id] — row gathers cost ~30 ns/element width-independent
+    # (PERF.md), so the join removes a full gather per lane-bounce.
+    T = soup.num_triangles
+    shade = np.zeros((max(T, 1), 32), np.float32)
+    if T:
+        shade[:, 0:3] = soup.normal
+        shade[:, 3:9] = soup.uv.reshape(T, 6)
+        shade[:, 9] = soup.mat.astype(np.int32).view(np.float32)
+        shade[:, 16:32] = mrows[soup.mat]
 
     L = int(idx.size)
     lrows = np.zeros((max(L, 1), 16), np.float32)

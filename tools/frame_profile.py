@@ -3,6 +3,7 @@
 
 Renders the bench config with estimator stages toggled off to attribute
 frame time; run on the TPU. Extend with more frame() variants as needed."""
+import argparse
 import sys, math, time, statistics
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
@@ -11,24 +12,43 @@ from gpupathtracer_tpu.render import Renderer
 from gpupathtracer_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("variants", nargs="?", default="full,nonee")
+_ap.add_argument("--scene", default="proc:sponza")
+_ap.add_argument("--width", type=int, default=1920)
+_ap.add_argument("--height", type=int, default=1080)
+_ap.add_argument("--microfacet", default="trowbridge_reitz")
+_ARGS = _ap.parse_args()
+
 def frame(label, **kw):
-    w, h = 1920, 1080
-    cfg = RenderConfig(scene_path="proc:sponza", skybox="GENERATE COLOR BLACK",
+    w, h = _ARGS.width, _ARGS.height
+    kw.setdefault("max_bounces", 64)
+    cfg = RenderConfig(scene_path=_ARGS.scene, skybox="GENERATE COLOR BLACK",
                        width=w, height=h, integrator="wavefront",
-                       max_bounces=64, ray_chunk=1 << 21, cache_enabled=True,
+                       microfacet=_ARGS.microfacet,
+                       ray_chunk=1 << 21, cache_enabled=True,
                        **kw)
-    cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0), yaw=math.pi/2,
-                              pitch=-0.05, fov=math.radians(60), aspect=w/h)
+    if _ARGS.scene == "proc:sponza":
+        cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0), yaw=math.pi/2,
+                                  pitch=-0.05, fov=math.radians(60),
+                                  aspect=w/h)
+    else:
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        pos, yaw, pitch, fov, aperture, focus = default_camera(_ARGS.scene)
+        cfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                  fov=math.radians(fov), aspect=w/h,
+                                  aperture=aperture, focal_distance=focus)
     r = Renderer(cfg)
     r.render_frame(sync=True)
+    batch = kw.get("frame_batch", 1)  # report per-spp when batched
     meds = []
     for _ in range(3):
         t0 = time.time()
         for i in range(3):
             r.render_frame(sync=(i == 2))
-        meds.append((time.time() - t0) / 3)
+        meds.append((time.time() - t0) / (3 * batch))
     m = statistics.median(meds)
-    print(f"{label}: {m:.3f} s/frame", flush=True)
+    print(f"{label}: {m:.3f} s/{'spp' if batch > 1 else 'frame'}", flush=True)
     return m
 
 VARIANTS = {
@@ -52,9 +72,15 @@ VARIANTS = {
     # alternate-bounce perm reuse (skip key+argsort on odd bounces)
     "tsort-alt": dict(bounce_traversal="tsort", shadow_sort=True,
                       tsort_alternate=True),
+    # small-scene glue bisection (bathroom-class: tsort is off by size gate)
+    "nocompact": dict(bounce_traversal="same", compaction=False),
+    "batch4": dict(bounce_traversal="same", frame_batch=4),
+    "batch8": dict(bounce_traversal="same", frame_batch=8),
+    "bounces8": dict(bounce_traversal="same", max_bounces=8),
+    "bounces16": dict(bounce_traversal="same", max_bounces=16),
 }
 
-names = sys.argv[1].split(",") if len(sys.argv) > 1 else ["full", "nonee"]
+names = _ARGS.variants.split(",")
 res = {}
 for name in names:
     res[name] = frame(f"{name:<16}", **VARIANTS[name])
