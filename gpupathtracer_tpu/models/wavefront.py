@@ -197,7 +197,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # ARE the bounce rays' hit points, which the (top1, top2) key
         # already groups by destination treelet, so the shadow rays get
         # grouping for one gather + scatter instead of a fresh sort.
-        shared_perm = None
+        shared_perm = shared_inv = None
         if trav == "tsort" and shadow_sort and nee and partition is None:
             from gpupathtracer_tpu.ops.tsort import _sort_perm
             if tsort_alternate:
@@ -215,6 +215,9 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                 shared_perm = _sort_perm(scene.bvh.cut_bounds, c.o, c.d,
                                          t_max_full, c.alive,
                                          bvh=scene.bvh)
+            # One inverse for BOTH the bounce and shadow unpermutes
+            # (gather by inverse beats a scatter, ops/tsort.py).
+            shared_inv = jnp.argsort(shared_perm).astype(jnp.int32)
         if partition is not None:
             from gpupathtracer_tpu.ops.traverse import Hit
             tt_, pp_, uu_, vv_ = trace_partitioned_local(
@@ -239,7 +242,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
                                       packet_size=max(packet_size, 128),
-                                      perm=shared_perm)
+                                      perm=shared_perm, inv=shared_inv)
         else:
             hit = trace_closest(scene, c.o, c.d, t_max_full, c.alive,
                                 stack_depth=stack_depth, leaf_size=leaf_size,
@@ -332,7 +335,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                 occluded = trace_occluded_tsort(
                     scene, so, sd, st_, alive, stack_depth=stack_depth,
                     leaf_size=leaf_size,
-                    packet_size=max(packet_size, 128), perm=shared_perm)
+                    packet_size=max(packet_size, 128), perm=shared_perm,
+                    inv=shared_inv)
             else:
                 occluded = trace_occluded(scene, so, sd, st_, alive,
                                           stack_depth=stack_depth,

@@ -53,10 +53,16 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2",
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None]) & active[:, None]
     key = jnp.where(hit, tn, jnp.inf)
     if key_mode in ("top2", "deep"):
-        negk, tids = jax.lax.top_k(-key, 2)         # 2 smallest entries
-        t1_, t2_ = tids[:, 0], tids[:, 1]
-        has1 = jnp.isfinite(negk[:, 0])
-        has2 = jnp.isfinite(negk[:, 1])
+        # Two argmin passes instead of lax.top_k(k=2): top_k costs
+        # ~35 ns/lane at C=132 where min+argmin+mask costs ~8
+        # (PERF.md glue calibration) — same (nearest, 2nd) pair.
+        t1_ = jnp.argmin(key, axis=1).astype(jnp.int32)
+        has1 = jnp.isfinite(jnp.min(key, axis=1))
+        masked = jnp.where(jnp.arange(C, dtype=jnp.int32)[None, :]
+                           == t1_[:, None], jnp.inf, key)
+        k2 = jnp.min(masked, axis=1)
+        t2_ = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        has2 = jnp.isfinite(k2)
         sec = jnp.where(has2, t2_, C)
         if key_mode == "deep":
             ce = bvh.cut_entry[t1_]                 # [N] treelet root entry
@@ -90,7 +96,7 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2",
 def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
            packet_size: int, any_hit: bool, interleave: int = 1,
            kernel: str = "packet", key_mode: str = "top2",
-           perm=None, interpret: bool | None = None):
+           perm=None, inv=None, interpret: bool | None = None):
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     if kernel == "subpacket":
         # Sub-packets (one independent 128-ray packet per sublane row,
@@ -109,6 +115,13 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
     if perm is None:
         perm = _sort_perm(scene.bvh.cut_bounds, o, d, t_max, active,
                           key_mode=key_mode, bvh=scene.bvh)
+    if inv is None:
+        # Inverse permutation: lets the result UNPERMUTE be a gather
+        # instead of a scatter — the [N,4] .at[perm].set() scatter costs
+        # ~50 ns/lane where argsort + gather costs ~10 (PERF.md glue
+        # calibration); callers sharing one perm between the bounce and
+        # shadow traces pass the inverse in to pay the argsort once.
+        inv = jnp.argsort(perm).astype(jnp.int32)
     # Single-gather payload: one [N, 8] row fetch instead of four.
     payload = jnp.concatenate(
         [o, d, t_max[:, None], active[:, None].astype(jnp.float32)],
@@ -139,12 +152,13 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
             ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
             interleave=interleave, interpret=interpret)
-    # Single-scatter unpermute: pack (t, prim-bits, u, v) as one [N, 4] row.
+    # Single-gather unpermute: pack (t, prim-bits, u, v) as one [N, 4] row
+    # and gather by the INVERSE permutation (cheaper than scattering).
     res = jnp.stack([t.reshape(NP)[:n],
                      jax.lax.bitcast_convert_type(prim.reshape(NP)[:n],
                                                   jnp.float32),
                      u.reshape(NP)[:n], v.reshape(NP)[:n]], axis=1)
-    out = jnp.zeros((n, 4), jnp.float32).at[perm].set(res)
+    out = res[inv]
     return Hit(t=out[:, 0],
                prim=jax.lax.bitcast_convert_type(out[:, 1], jnp.int32),
                u=out[:, 2], v=out[:, 3])
@@ -153,25 +167,26 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
 def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                         leaf_size: int, packet_size: int = 2048,
                         interleave: int = 1, kernel: str = "packet",
-                        key_mode: str = "top2", perm=None,
+                        key_mode: str = "top2", perm=None, inv=None,
                         interpret: bool | None = None) -> Hit:
     """Closest-hit with treelet-sorted packets. Same contract as
-    traverse.trace_closest. perm: optional precomputed permutation
-    (callers can reuse one bounce's sort for its shadow rays)."""
+    traverse.trace_closest. perm/inv: optional precomputed permutation
+    and its inverse (callers can reuse one bounce's sort for its shadow
+    rays and pay the inverse argsort once)."""
     return _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                   leaf_size=leaf_size, packet_size=packet_size,
                   any_hit=False, interleave=interleave, kernel=kernel,
-                  key_mode=key_mode, perm=perm, interpret=interpret)
+                  key_mode=key_mode, perm=perm, inv=inv, interpret=interpret)
 
 
 def trace_occluded_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                          leaf_size: int, packet_size: int = 2048,
                          interleave: int = 1, kernel: str = "packet",
-                         key_mode: str = "top2", perm=None,
+                         key_mode: str = "top2", perm=None, inv=None,
                          interpret: bool | None = None):
     """Occlusion query with treelet-sorted packets. Returns occluded [N]."""
     hit = _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                  leaf_size=leaf_size, packet_size=packet_size,
                  any_hit=True, interleave=interleave, kernel=kernel,
-                 key_mode=key_mode, perm=perm, interpret=interpret)
+                 key_mode=key_mode, perm=perm, inv=inv, interpret=interpret)
     return hit.prim >= 0
