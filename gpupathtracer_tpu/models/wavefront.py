@@ -300,11 +300,21 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
         # --- NEE (Iterative.comp:272-280) ---
         if nee:
-            rays = rays + jnp.sum(alive, dtype=jnp.int32)
             ls = generate_light_sample(scene, pos, normal, mat, inter,
                                        c.throughput, rnd[:, 0], rnd[:, 1:3],
                                        model, sun=sun, sun_mode=sun_mode,
                                        u_pick=rnd[:, 7])
+            # Only trace shadow rays that could contribute: lanes whose
+            # light sample is exactly zero (light below the hemisphere,
+            # zero BSDF) and delta surfaces (zero BSDF toward any sampled
+            # point) read the same 0 whatever the occlusion result, so
+            # masking them out of the any-hit trace is EXACT — the kernel
+            # drops inactive lanes from packet unions (and whole dead
+            # packets exit before their first pop).
+            shadow_live = (alive & ~is_delta
+                           & jnp.any(ls.throughput * ls.emission != 0.0,
+                                     axis=-1))
+            rays = rays + jnp.sum(shadow_live, dtype=jnp.int32)
             so, sd, st_ = ls.shadow_origin, ls.shadow_dir, ls.shadow_tmax
             if shadow_rev:
                 # Occlusion is segment-symmetric: trace from the LIGHT end
@@ -324,7 +334,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             # gather + scatter, no key/argsort.
             if partition is not None:
                 _, pp_s, _, _ = trace_partitioned_local(
-                    part_table, part_bounds, so, sd, st_, alive,
+                    part_table, part_bounds, so, sd, st_, shadow_live,
                     axis_name=partition_axis, num_devices=num_chips,
                     stack_depth=stack_depth, leaf_size=leaf_size,
                     packet_size=max(packet_size, 128), any_hit=True,
@@ -333,19 +343,18 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             elif shared_perm is not None:
                 from gpupathtracer_tpu.ops.tsort import trace_occluded_tsort
                 occluded = trace_occluded_tsort(
-                    scene, so, sd, st_, alive, stack_depth=stack_depth,
+                    scene, so, sd, st_, shadow_live, stack_depth=stack_depth,
                     leaf_size=leaf_size,
                     packet_size=max(packet_size, 128), perm=shared_perm,
                     inv=shared_inv)
             else:
-                occluded = trace_occluded(scene, so, sd, st_, alive,
+                occluded = trace_occluded(scene, so, sd, st_, shadow_live,
                                           stack_depth=stack_depth,
                                           leaf_size=leaf_size,
                                           traversal=traversal,
                                           packet_size=packet_size)
-            # Delta surfaces have zero BSDF toward any sampled light point.
             contribution = contribution + jnp.where(
-                (alive & ~occluded & ~is_delta)[..., None],
+                (shadow_live & ~occluded)[..., None],
                 ls.throughput * ls.emission, 0.0)
 
         # --- BSDF sampling + throughput update (Iterative.comp:282-284) ---
