@@ -67,6 +67,77 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     extra = {}
+    import gc
+
+    # The FPS configs run FIRST: the tunnel develops measurable
+    # backpressure under sustained heavy traffic (table direct measured
+    # 18.5-20.8 fps at the END of the old bench sequence vs 33-35 fps
+    # standalone in the same session; every in-isolation predecessor
+    # test — post-1080p, post-realtime, in-process executables —
+    # reproduced the standalone number, PERF.md session 7). Small frames
+    # are the most sensitive, so they go before the heavy sections.
+
+    def _proc_fps(scene, w, h, integrator, max_bounces, frame_batch=1):
+        from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        c = RenderConfig(scene_path=scene, skybox="GENERATE COLOR BLACK",
+                         width=w, height=h, integrator=integrator,
+                         max_bounces=max_bounces, ray_chunk=1 << 21,
+                         cache_enabled=True, frame_batch=frame_batch)
+        pos, yaw, pitch, fov, aperture, focus = default_camera(scene)
+        c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                fov=math.radians(fov), aspect=w / h,
+                                aperture=aperture, focal_distance=focus)
+        rr = Renderer(c)
+        rr.render_frame(sync=True)
+        meds = []
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(8):
+                rr.render_frame(sync=(i == 7))
+            meds.append(8.0 * frame_batch / (time.time() - t0))
+        del rr
+        gc.collect()
+        return statistics.median(meds)
+
+    if not quick:
+        table_fps = _proc_fps("proc:table", 800, 600, "direct", 0)
+        print(f"# table direct 800x600: {table_fps:.2f} fps "
+              f"(reference RT claims are on this scene)", file=sys.stderr)
+        extra["table_direct_fps"] = round(table_fps, 2)
+        # Multi-sample batching (8 spp/dispatch): amortizes the ~3.5 ms
+        # dispatch overhead; reported as accumulated spp/s.
+        table_spp = _proc_fps("proc:table", 800, 600, "direct", 0,
+                              frame_batch=8)
+        print(f"# table direct 800x600 batched x8: {table_spp:.2f} spp/s",
+              file=sys.stderr)
+        extra["table_direct_batched_spp_s"] = round(table_spp, 2)
+        table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
+        print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
+              f"(reference: 45 fps progressive on a GTX 980)",
+              file=sys.stderr)
+        extra["table_pt_fps"] = round(table_pt, 2)
+        bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
+        print(f"# bunny direct 512x512 (config 1): {bunny_fps:.2f} fps",
+              file=sys.stderr)
+        extra["bunny_direct_fps"] = round(bunny_fps, 2)
+
+    # --- real-time demo: 640x360 direct integrator ------------------------
+    # 8 frames per sync: a host sync costs ~33 ms through the tunnel, which
+    # at realtime frame times is a measurable per-frame tax at 4/batch.
+    rt = Renderer(_sponza_cfg(640, 360, integrator="direct", max_bounces=1))
+    rt.render_frame(sync=True)
+    fps_meds = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(8):
+            rt.render_frame(sync=(i == 7))
+        fps_meds.append(8.0 / (time.time() - t0))
+    rt_fps = statistics.median(fps_meds)
+    del rt
+    gc.collect()
+    print(f"# realtime direct 640x360: {rt_fps:.2f} fps", file=sys.stderr)
+    extra["realtime_direct_fps"] = round(rt_fps, 2)
 
     # --- headline: Sponza-class 1080p NEE real-time (config 3) ------------
     width, height = (640, 360) if quick else (1920, 1080)
@@ -105,65 +176,9 @@ def main() -> None:
                        "first_frame_s": round(first_s, 2),
                        "first_frame_warm_s": round(first_warm_s, 2)}
 
-    # --- real-time demo: 640x360 direct integrator ------------------------
-    rt = Renderer(_sponza_cfg(640, 360, integrator="direct", max_bounces=1))
-    rt.render_frame(sync=True)
-    fps_meds = []
-    for _ in range(3):
-        t0 = time.time()
-        for i in range(4):
-            rt.render_frame(sync=(i == 3))
-        fps_meds.append(4.0 / (time.time() - t0))
-    rt_fps = statistics.median(fps_meds)
-    print(f"# realtime direct 640x360: {rt_fps:.2f} fps", file=sys.stderr)
-    extra["realtime_direct_fps"] = round(rt_fps, 2)
-
-    # --- the reference's other benchmark configs (BASELINE.md 1, 2) -------
-    # Config 2 = table accumulative path tracing + DoF (the scene of the
-    # 140/60/45 FPS reference claims, README.md:22-29); config 1 = bunny
-    # primary + shadow rays at 512x512.
-    def _proc_fps(scene, w, h, integrator, max_bounces, frame_batch=1):
-        from gpupathtracer_tpu.config import CameraConfig, RenderConfig
-        from gpupathtracer_tpu.scene.procedural import default_camera
-        c = RenderConfig(scene_path=scene, skybox="GENERATE COLOR BLACK",
-                         width=w, height=h, integrator=integrator,
-                         max_bounces=max_bounces, ray_chunk=1 << 21,
-                         cache_enabled=True, frame_batch=frame_batch)
-        pos, yaw, pitch, fov, aperture, focus = default_camera(scene)
-        c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
-                                fov=math.radians(fov), aspect=w / h,
-                                aperture=aperture, focal_distance=focus)
-        rr = Renderer(c)
-        rr.render_frame(sync=True)
-        meds = []
-        for _ in range(3):
-            t0 = time.time()
-            for i in range(4):
-                rr.render_frame(sync=(i == 3))
-            meds.append(4.0 * frame_batch / (time.time() - t0))
-        return statistics.median(meds)
-
-    if not quick:
-        table_fps = _proc_fps("proc:table", 800, 600, "direct", 0)
-        print(f"# table direct 800x600: {table_fps:.2f} fps "
-              f"(reference RT claims are on this scene)", file=sys.stderr)
-        extra["table_direct_fps"] = round(table_fps, 2)
-        # Multi-sample batching (8 spp/dispatch): amortizes the ~3.5 ms
-        # dispatch overhead; reported as accumulated spp/s.
-        table_spp = _proc_fps("proc:table", 800, 600, "direct", 0,
-                              frame_batch=8)
-        print(f"# table direct 800x600 batched x8: {table_spp:.2f} spp/s",
-              file=sys.stderr)
-        extra["table_direct_batched_spp_s"] = round(table_spp, 2)
-        table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
-        print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
-              f"(reference: 45 fps progressive on a GTX 980)",
-              file=sys.stderr)
-        extra["table_pt_fps"] = round(table_pt, 2)
-        bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
-        print(f"# bunny direct 512x512 (config 1): {bunny_fps:.2f} fps",
-              file=sys.stderr)
-        extra["bunny_direct_fps"] = round(bunny_fps, 2)
+    # Free the 1080p renderers before the converged configs.
+    del r
+    gc.collect()
 
     # --- time-to-256spp on the Salle-de-Bain-class scene ------------------
     if not quick:
@@ -194,6 +209,8 @@ def main() -> None:
               file=sys.stderr)
         extra["bathroom_256spp_s"] = round(bath_s, 1)
         extra["bathroom_res"] = f"{bw}x{bh}"
+        del rb
+        gc.collect()
 
         # Config 4 at the reference's own fidelity (README.md:45-46 +
         # Program.cpp:22-23): 1280x720, 1024 spp, whatever it costs.
