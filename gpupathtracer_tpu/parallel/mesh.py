@@ -15,6 +15,13 @@ counter and memory barriers (SURVEY.md §2.5). The TPU-native scaling story:
 One sharded frame therefore accumulates `samples_axis` spp. A v5e-8 maps
 naturally to mesh (2, 4) or (1, 8); both compile on a CPU-device mesh for
 testing (tests/test_sharding.py).
+
+Multi-host: map "pixels" to the cross-host (DCN) dimension — radiance is
+psum'ed over "samples" only, so no film bytes ever cross DCN (the single
+pixels-axis collective is the scalar ray counter). Pinned at HLO level by
+tests/test_sharding.py::test_pixels_axis_radiance_stays_local. On a real
+multi-host pod: jax.distributed.initialize(), then
+make_device_mesh((samples_per_host, num_hosts)).
 """
 
 from __future__ import annotations

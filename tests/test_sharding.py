@@ -191,6 +191,36 @@ def test_sharded_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(r3.accum), full)
 
 
+def test_pixels_axis_radiance_stays_local(cornell):
+    """Multi-host DCN contract (TODO.md roadmap): mapping the mesh's
+    "pixels" axis to the cross-host (DCN) dimension must move NO radiance
+    across it — each host accumulates its own film tile locally and the
+    only pixels-axis collective is the scalar ray counter (8 bytes per
+    frame). The samples axis (the psum of radiance) then rides ICI within
+    a host. Pinned at the compiled-HLO level so a refactor cannot
+    silently introduce a cross-host all-reduce of the film."""
+    import re
+
+    cfg, scene, meta = cornell
+    mesh = make_device_mesh((8,))  # pixels-only mesh = the DCN axis alone
+    cam = generate_image_plane(cfg.camera)
+    px, py = _pixels()
+    key = jax.random.PRNGKey(0)
+
+    def fn(s, c, x, y, k):
+        return render_sample_sharded(mesh, s, c, x, y, k,
+                                     **_static(cfg, meta))
+
+    txt = jax.jit(fn).lower(scene, cam, px, py, key).compile().as_text()
+    coll = [ln for ln in txt.splitlines()
+            if re.search(r"all-reduce|all-gather|collective-permute"
+                         r"|all-to-all|reduce-scatter", ln)]
+    assert coll, "expected the scalar ray-counter psum to remain"
+    for ln in coll:
+        # Every collective must be the scalar counter — never the film.
+        assert re.search(r"\b[su]32\[\]", ln), f"non-scalar collective: {ln}"
+
+
 def test_film_padding_non_dividing_pixels_axis():
     """A film whose ray count doesn't divide the pixels axis pads with
     sentinel rays; the padded output drops them (was: ValueError)."""

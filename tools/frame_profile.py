@@ -78,6 +78,10 @@ VARIANTS = {
     "batch8": dict(bounce_traversal="same", frame_batch=8),
     "bounces8": dict(bounce_traversal="same", max_bounces=8),
     "bounces16": dict(bounce_traversal="same", max_bounces=16),
+    # primary floor: camera gen + ONE coherent trace + shade glue (+NEE)
+    "b0-nonee": dict(bounce_traversal="same", nee_enabled=False,
+                     max_bounces=0),
+    "b0": dict(bounce_traversal="same", max_bounces=0),
 }
 
 names = _ARGS.variants.split(",")
