@@ -76,6 +76,7 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
                             axis_name: str, num_devices: int,
                             stack_depth: int, leaf_size: int,
                             packet_size: int = 2048, any_hit: bool = False,
+                            with_stats: bool = False,
                             interpret: bool = False):
     """Ring-rotation traversal; call INSIDE shard_map.
 
@@ -84,6 +85,9 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
       dev_bounds: [D, 6] forest bounds of every chip (replicated).
       o, d, t_max, active: this chip's resident ray shard [n].
     Returns (t, prim, u, v) for the rays that STARTED on this chip.
+    With with_stats also returns a [2, D] i32 row: per-hop count of rays
+    ROUTED into this chip's subtree (`here`) and of rays whose best hit
+    IMPROVED (`better`) — the measured inputs of the PERF.md ICI model.
     """
     D = num_devices
     me = jax.lax.axis_index(axis_name)
@@ -97,6 +101,7 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
 
     state = (o, d, t, prim, u, v, act)
     perm = [(i, (i + 1) % D) for i in range(D)]
+    routed, improved = [], []
 
     for step in range(D):
         o_c, d_c, t_c, prim_c, u_c, v_c, act_c = state
@@ -122,12 +127,19 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
         u_c = jnp.where(better, uu, u_c)
         v_c = jnp.where(better, vv, v_c)
 
+        if with_stats:
+            routed.append(jnp.sum(here, dtype=jnp.int32))
+            improved.append(jnp.sum(better, dtype=jnp.int32))
+
         state = (o_c, d_c, t_c, prim_c, u_c, v_c, act_c)
         if step < D - 1:
             state = jax.lax.ppermute(state, axis_name, perm)
     # D-1 hops: rotate once more so blocks land back on their origin chip.
     state = jax.lax.ppermute(state, axis_name, perm)
     _, _, t, prim, u, v, _ = state
+    if with_stats:
+        return t, prim, u, v, jnp.stack([jnp.stack(routed),
+                                         jnp.stack(improved)])
     return t, prim, u, v
 
 
@@ -207,25 +219,39 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
                               active, *, stack_depth: int, leaf_size: int,
                               packet_size: int = 2048,
                               any_hit: bool = False,
+                              with_stats: bool = False,
                               axis: str = "chips",
                               interpret: bool | None = None):
     """shard_map wrapper: full [N] rays in, full [N] Hit out (N must divide
-    the chips axis)."""
+    the chips axis). with_stats additionally returns a [D, 2, D] i32 array
+    of per-(owner-chip, hop) routed/improved ray counts."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = mesh.shape[axis]
+    n_stats = (P(axis),) if with_stats else ()
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
-             out_specs=(P(axis),) * 4,
+             out_specs=(P(axis),) * 4 + n_stats,
              check_vma=False)
     def run(table, bounds, o_l, d_l, tm_l, act_l):
-        return trace_partitioned_local(
+        out = trace_partitioned_local(
             table[0], bounds, o_l, d_l, tm_l, act_l, axis_name=axis,
             num_devices=D, stack_depth=stack_depth, leaf_size=leaf_size,
-            packet_size=packet_size, any_hit=any_hit, interpret=interpret)
+            packet_size=packet_size, any_hit=any_hit,
+            with_stats=with_stats, interpret=interpret)
+        if with_stats:
+            t_, p_, u_, v_, cnt = out
+            return t_, p_, u_, v_, cnt[None]  # [1, 2, D] -> gathers to [D, 2, D]
+        return out
 
-    t, prim, u, v = run(tables, dev_bounds, o, d, t_max, active)
+    out = run(tables, dev_bounds, o, d, t_max, active)
+    stats = None
+    if with_stats:
+        t, prim, u, v, stats = out
+    else:
+        t, prim, u, v = out
     if any_hit:
-        return prim >= 0
-    return Hit(t=t, prim=prim, u=u, v=v)
+        return (prim >= 0, stats) if with_stats else prim >= 0
+    hit = Hit(t=t, prim=prim, u=u, v=v)
+    return (hit, stats) if with_stats else hit

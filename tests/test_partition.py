@@ -104,6 +104,46 @@ def test_partitioned_trace_matches_replicated(bunny):
     assert (same | np.isclose(t_p, t_r, rtol=1e-6, atol=1e-6)).all()
 
 
+def test_partitioned_stats_counters(bunny):
+    """with_stats: the per-(chip, hop) routed/improved counters are
+    consistent — results unchanged, improved <= routed, every found hit
+    implies at least one improving hop, and total routed/ray (the hops/ray
+    V of the PERF.md ICI model, measured by tools/partition_bench.py) is
+    bounded by the ring length."""
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 8)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    tables, dev_bounds = shard_partition(part, mesh)
+
+    N = 512
+    rng = np.random.RandomState(3)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.asarray(rng.rand(N) > 0.1)
+    kw = dict(stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+              packet_size=128)
+
+    plain = trace_closest_partitioned(mesh, tables, dev_bounds, o, d, tmax,
+                                      act, **kw)
+    hit, stats = trace_closest_partitioned(mesh, tables, dev_bounds, o, d,
+                                           tmax, act, with_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(hit.t), np.asarray(plain.t))
+    s = np.asarray(stats)
+    assert s.shape == (8, 2, 8)
+    routed, improved = s[:, 0, :], s[:, 1, :]
+    assert (improved <= routed).all()
+    n_hits = int((np.asarray(hit.prim) >= 0).sum())
+    assert improved.sum() >= n_hits > 0
+    n_act = int(np.asarray(act).sum())
+    v = routed.sum() / n_act
+    assert 0.0 < v <= 8.0
+
+
 def test_partitioned_occlusion_matches_replicated(bunny):
     scene, meta = bunny
     rows = np.asarray(scene.bvh.node_rows)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Measure the partitioned-traversal routing statistics on the CPU mesh.
+
+The PERF.md ICI cost model for the multi-chip scene partition (chips own
+subtrees, ray shards ring via ppermute) rests on two quantities this tool
+MEASURES instead of assumes, on a real scene with D=8 virtual devices:
+
+  - hops/ray V: how many of the D subtree visits actually traverse
+    (the routing mask prunes the rest) — the compute-per-hop input;
+  - per-chip load balance: total routed rays per chip (the tail-latency
+    input — the slowest chip gates each hop's barrier).
+
+Runs coherent (camera) and incoherent (random) ray populations, closest
+and any-hit. CPU-only; no TPU needed.
+
+Usage: python tools/partition_bench.py [--scene proc:sponza] [--n 65536]
+"""
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="proc:sponza")
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--chips", type=int, default=8)
+    args = ap.parse_args()
+
+    from gpupathtracer_tpu.bvh.partition import build_partition
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.math.camera import gen_rays, generate_image_plane
+    from gpupathtracer_tpu.parallel.mesh import make_device_mesh
+    from gpupathtracer_tpu.parallel.partition import (
+        shard_partition, trace_closest_partitioned)
+    from gpupathtracer_tpu.scene import load_scene
+    from jax.sharding import Mesh
+
+    D = args.chips
+    cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
+                       width=256, height=256)
+    if args.scene == "proc:sponza":
+        cfg.camera = CameraConfig(position=(-18.0, 4.5, 0.0),
+                                  yaw=math.pi / 2, pitch=-0.05,
+                                  fov=math.radians(60), aspect=1.0)
+    else:
+        from gpupathtracer_tpu.scene.procedural import default_camera
+        pos, yaw, pitch, fov, aperture, focus = default_camera(args.scene)
+        cfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                  fov=math.radians(fov), aspect=1.0,
+                                  aperture=aperture, focal_distance=focus)
+    scene, meta = load_scene(cfg)
+    rows = np.asarray(scene.bvh.node_rows)
+    part = build_partition(rows, scene.bvh.child_bounds.shape[0], D)
+    devs = np.asarray(jax.devices()[:D]).reshape(D,)
+    mesh = Mesh(devs, axis_names=("chips",))
+    tables, dev_bounds = shard_partition(part, mesh)
+    print(f"# {args.scene}: whole table {rows.shape[0]} rows; per-chip "
+          f"{tables.shape[1]} rows (pad incl.)", flush=True)
+
+    n = args.n
+    key = jax.random.PRNGKey(7)
+    lo = np.asarray(dev_bounds)[:, 0:3].min(0)
+    hi = np.asarray(dev_bounds)[:, 3:6].max(0)
+
+    # Coherent population: camera rays.
+    cam = generate_image_plane(cfg.camera)
+    side = int(math.isqrt(n))
+    idx = jnp.arange(side * side)
+    px = (idx % side).astype(jnp.float32) / side
+    py = (idx // side).astype(jnp.float32) / side
+    o_c, d_c = gen_rays(cam, jnp.stack([px, py], 1),
+                        jnp.full((side * side, 2), 0.5))
+    nc = side * side
+
+    # Incoherent population: random origins inside the scene bounds,
+    # random directions (the bounce-wavefront stand-in, kernel_bench's
+    # convention).
+    ko, kd = jax.random.split(key)
+    o_i = jax.random.uniform(ko, (n, 3), minval=jnp.asarray(lo),
+                             maxval=jnp.asarray(hi))
+    d_i = jax.random.normal(kd, (n, 3))
+    d_i = d_i / jnp.linalg.norm(d_i, axis=1, keepdims=True)
+
+    def run(tag, o, d, m, any_hit, tmax=None):
+        tm = (jnp.full((m,), 1e20, jnp.float32) if tmax is None
+              else jnp.full((m,), tmax, jnp.float32))
+        act = jnp.ones((m,), bool)
+        out = trace_closest_partitioned(
+            mesh, tables, dev_bounds, o, d, tm, act,
+            stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+            any_hit=any_hit, with_stats=True)
+        _, stats = out
+        s = np.asarray(stats)          # [D_chip, 2, D_hop]
+        routed, improved = s[:, 0, :], s[:, 1, :]
+        per_chip = routed.sum(1)       # total traversal work per chip
+        per_hop = routed.sum(0)        # total routed per hop index
+        v = routed.sum() / m
+        imb = per_chip.max() / max(per_chip.mean(), 1e-9)
+        print(f"{tag}: hops/ray V = {v:.2f} of {routed.shape[1]}, "
+              f"improved/ray = {improved.sum()/m:.2f}, "
+              f"chip load max/mean = {imb:.2f}", flush=True)
+        print(f"   per-chip routed: {per_chip.tolist()}", flush=True)
+        print(f"   per-hop routed : {per_hop.tolist()}", flush=True)
+        return v, imb
+
+    run("coherent  closest", o_c, d_c, nc, False)
+    run("incoherent closest", o_i, d_i, n, False)
+    run("incoherent any-hit (tmax=20)", o_i, d_i, n, True, tmax=20.0)
+
+    # ICI model refresh: bytes/ray/hop is fixed at ~44; what V changes is
+    # the COMPUTE per hop (masked rays still ride the ring but skip the
+    # kernel via dead-packet exit after the alive-first fill).
+    print("# model: ICI bytes/ray/traversal = 44 * (D-1) regardless of V; "
+          "per-hop compute scales with routed counts above.", flush=True)
+
+
+if __name__ == "__main__":
+    main()
