@@ -145,9 +145,47 @@ def _row_cut(node_rows: np.ndarray, W: int, entry_all: np.ndarray,
     return entries, bounds, counts
 
 
+def _group_spatial(cut_bounds: np.ndarray, weights: np.ndarray, D: int):
+    """Weight-balanced recursive spatial split of the cut entries.
+
+    The LPT packing below balances row counts but ignores GEOMETRY, so a
+    device's forest AABB can span the whole scene — and the routing mask
+    of parallel/partition.py passes whenever a ray's slab enters that
+    union, which measured as V = 5-6.3 of 8 hops actually traversing
+    (PERF.md partition statistics). Here entries are split recursively by
+    the weighted median of their centroids along the widest axis: groups
+    stay spatially compact (small forest unions -> fewer slab passes)
+    while carrying ~equal reachable-row weight.
+    """
+    cent = 0.5 * (cut_bounds[:, 0:3] + cut_bounds[:, 3:6])
+
+    def split(idx, d):
+        if d == 1 or len(idx) <= 1:
+            return [list(idx)]
+        d1 = d // 2
+        ext = cent[idx].max(0) - cent[idx].min(0)
+        axis = int(np.argmax(ext))
+        order = idx[np.argsort(cent[idx, axis], kind="stable")]
+        cw = np.cumsum(weights[order])
+        target = cw[-1] * d1 / d
+        k = int(np.searchsorted(cw, target)) + 1
+        k = min(max(k, 1), len(order) - 1)
+        return split(order[:k], d1) + split(order[k:], d - d1)
+
+    groups = split(np.arange(len(cut_bounds)), D)
+    while len(groups) < D:  # fewer entries than devices: pad empty groups
+        groups.append([])
+    return [[int(i) for i in g] for g in groups]
+
+
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
-                    num_devices: int) -> Partition:
-    """Split the merged table into `num_devices` compact local tables."""
+                    num_devices: int, grouping: str = "spatial"
+                    ) -> Partition:
+    """Split the merged table into `num_devices` compact local tables.
+
+    grouping: "spatial" (default; weight-balanced kd split of the cut —
+    measured V = 1.80 incoherent closest vs 5.01 for "lpt",
+    PERF.md partition statistics) or "lpt" (pure row-count balance)."""
     D = int(num_devices)
     W = int(num_wide_nodes)
     entry_all = node_rows[:W, 48:56].copy().view(np.int32)
@@ -162,16 +200,20 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
         _collect_rows(int(e), entry_all, W, rows, seen)
         sub_rows.append(rows)
 
-    # LPT bin packing into D groups by reachable row count. A group may
-    # hold more than 8 roots: the synthetic root grows a second level
-    # (up to 64 roots) when needed.
-    order = np.argsort([-len(r) for r in sub_rows])
-    group_of = [[] for _ in range(D)]
-    load = [0] * D
-    for i in order:
-        g = int(np.argmin(load))
-        group_of[g].append(int(i))
-        load[g] += len(sub_rows[i])
+    if grouping == "spatial":
+        group_of = _group_spatial(
+            cut_bounds, np.asarray([len(r) for r in sub_rows], np.int64), D)
+    else:
+        # LPT bin packing into D groups by reachable row count. A group may
+        # hold more than 8 roots: the synthetic root grows a second level
+        # (up to 64 roots) when needed.
+        order = np.argsort([-len(r) for r in sub_rows])
+        group_of = [[] for _ in range(D)]
+        load = [0] * D
+        for i in order:
+            g = int(np.argmin(load))
+            group_of[g].append(int(i))
+            load[g] += len(sub_rows[i])
 
     def _synth_row(child_bounds, child_entries):
         row = np.zeros((128,), node_rows.dtype)

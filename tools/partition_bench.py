@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--scene", default="proc:sponza")
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--chips", type=int, default=8)
+    ap.add_argument("--grouping", default="spatial",
+                    choices=["spatial", "lpt"])
     args = ap.parse_args()
 
     from gpupathtracer_tpu.bvh.partition import build_partition
@@ -64,12 +66,14 @@ def main():
                                   aperture=aperture, focal_distance=focus)
     scene, meta = load_scene(cfg)
     rows = np.asarray(scene.bvh.node_rows)
-    part = build_partition(rows, scene.bvh.child_bounds.shape[0], D)
+    part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
+                           grouping=args.grouping)
     devs = np.asarray(jax.devices()[:D]).reshape(D,)
     mesh = Mesh(devs, axis_names=("chips",))
     tables, dev_bounds = shard_partition(part, mesh)
     print(f"# {args.scene}: whole table {rows.shape[0]} rows; per-chip "
-          f"{tables.shape[1]} rows (pad incl.)", flush=True)
+          f"{tables.shape[1]} rows (pad incl.); grouping={args.grouping}; "
+          f"live rows/chip={part.num_rows.tolist()}", flush=True)
 
     n = args.n
     key = jax.random.PRNGKey(7)
