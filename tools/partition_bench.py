@@ -114,9 +114,16 @@ def main():
         per_hop = routed.sum(0)        # total routed per hop index
         v = routed.sum() / m
         imb = per_chip.max() / max(per_chip.mean(), 1e-9)
+        # Wall-clock proxy: every hop is a barrier, so the slowest chip
+        # gates it — sum over hops of the max-over-chips routed count,
+        # vs the perfectly-balanced sum/D.
+        barrier = routed.max(0).sum()
+        ideal = routed.sum() / routed.shape[0]
         print(f"{tag}: hops/ray V = {v:.2f} of {routed.shape[1]}, "
               f"improved/ray = {improved.sum()/m:.2f}, "
-              f"chip load max/mean = {imb:.2f}", flush=True)
+              f"chip load max/mean = {imb:.2f}, "
+              f"barrier cost/ideal = {barrier/max(ideal, 1e-9):.2f}",
+              flush=True)
         print(f"   per-chip routed: {per_chip.tolist()}", flush=True)
         print(f"   per-hop routed : {per_hop.tolist()}", flush=True)
         return v, imb
