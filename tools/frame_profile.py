@@ -82,6 +82,11 @@ VARIANTS = {
     "b0-nonee": dict(bounce_traversal="same", nee_enabled=False,
                      max_bounces=0),
     "b0": dict(bounce_traversal="same", max_bounces=0),
+    # schedule re-probe after the session-7 glue cuts
+    "tsort-fine4": dict(bounce_traversal="tsort", shadow_sort=True,
+                        compaction_divs=(2, 8, 32, 128)),
+    "tsort-coarse4": dict(bounce_traversal="tsort", shadow_sort=True,
+                          compaction_divs=(4, 16, 64, 256)),
 }
 
 names = _ARGS.variants.split(",")
