@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--grouping", default="spatial",
-                    choices=["spatial", "lpt"])
+                    choices=["spatial", "spatial-area", "demand", "lpt"])
     args = ap.parse_args()
 
     from gpupathtracer_tpu.bvh.partition import build_partition
