@@ -41,8 +41,13 @@ class Partition(NamedTuple):
     mesh device axis)."""
 
     tables: np.ndarray      # [D, M', 128] f32 per-device merged row tables
-    dev_bounds: np.ndarray  # [D, 6] f32 union AABB of each device's forest
+    dev_bounds: np.ndarray  # [D, 6] f32 union AABB of each device's
+    #                         steady forest (routes hops >= 1)
     num_rows: np.ndarray    # [D] i32 live rows per device (<= M')
+    dev_bounds0: np.ndarray = None  # [D, 6] hop-0 forest union (steady +
+    #                                 replicated hot subtrees)
+    steady_root: np.ndarray = None  # [D] i32 root row for hops >= 1
+    #                                 (row 0 is always the hop-0 root)
 
 
 def _collect_rows(entry: int, entry_all: np.ndarray, W: int,
@@ -201,19 +206,38 @@ def _demand_weights(cut_bounds: np.ndarray, n_rays: int = 8192,
 
 
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
-                    num_devices: int, grouping: str = "spatial"
-                    ) -> Partition:
+                    num_devices: int, grouping: str = "spatial",
+                    replicate_hot: int = 4) -> Partition:
     """Split the merged table into `num_devices` compact local tables.
 
     grouping: "spatial" (default; weight-balanced kd split of the cut —
     measured V = 1.80 incoherent closest vs 5.01 for "lpt",
-    PERF.md partition statistics) or "lpt" (pure row-count balance)."""
+    PERF.md partition statistics) or "lpt" (pure row-count balance);
+    "spatial-area"/"demand" are measured losses kept for the record.
+
+    replicate_hot: copy the K highest-demand cut entries (host random-ray
+    slab estimate, _demand_weights) into EVERY device's table, served
+    EXCLUSIVELY at hop 0: row 0 of each table becomes a hop-0 root
+    (steady members + the K hot subtrees) and `steady_root` points at a
+    second synthetic root WITHOUT them, used on hops >= 1 — including on
+    the hot entries' former owner, so each ray traverses each hot
+    subtree exactly once, on its HOME chip. The per-hop barrier skew is
+    intrinsic demand concentration (PERF.md: re-weighting the kd split
+    measured as a loss); replication spreads the concentrated demand
+    uniformly over all D chips (every chip serves its own resident shard
+    at hop 0) and the early-found hit tightens `t` for every later
+    hop's route mask — trading VMEM headroom (+K subtree copies/chip)
+    for barrier balance. Default K=4: measured pareto-win on every ray
+    population (PERF.md replicate-hot table: wall proxy -6% incoherent
+    closest, -10% coherent, -43% any-hit; total pops flat; +20%
+    rows/chip)."""
     D = int(num_devices)
     W = int(num_wide_nodes)
     entry_all = node_rows[:W, 48:56].copy().view(np.int32)
 
     cut_entry, cut_bounds, _ = _row_cut(node_rows, W, entry_all, D)
     C = len(cut_entry)
+    replicate_hot = max(0, min(int(replicate_hot), C - 1))
 
     # Reachable row count per cut entry (for balancing).
     sub_rows = []
@@ -264,21 +288,54 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
         row[48:56] = roote.view(np.float32)
         return row
 
+    hot: list = []
+    if replicate_hot > 0:
+        hot = [int(h) for h in
+               np.argsort(-_demand_weights(cut_bounds))[:replicate_hot]]
+        hot_set = set(hot)
+        # Hot entries leave their owner's steady set — they are served at
+        # hop 0 on every ray's home chip instead.
+        group_of = [[i for i in g if i not in hot_set] for g in group_of]
+
+    def _n_synth(members) -> int:
+        """Synthetic rows a root over `members` needs (1 or two-level)."""
+        return 1 + ((len(members) + 7) // 8 if len(members) > 8 else 0)
+
+    def _bounds_union(members, out_row):
+        if members:
+            out_row[0:3] = cut_bounds[members][:, 0:3].min(0)
+            out_row[3:6] = cut_bounds[members][:, 3:6].max(0)
+        else:
+            # Empty forest (tiny scene / all-hot group): a far-away point
+            # box whose slab entry always exceeds t_max, so no ray ever
+            # routes here. (An inverted +-inf box would HIT under the
+            # per-axis min/max slab formulation; empty child slots get
+            # away with it only because their INVALID entries are
+            # filtered after the slab test.)
+            out_row[0:3] = 1e30
+            out_row[3:6] = 1e30
+
     # Build each device's table: synthetic root(s) + remapped rows.
     locals_ = []
     dev_bounds = np.zeros((D, 6), np.float32)
+    dev_bounds0 = np.zeros((D, 6), np.float32)
+    steady_root = np.zeros((D,), np.int32)
     num_rows = np.zeros((D,), np.int32)
     for g in range(D):
-        members = group_of[g]
-        if len(members) > 64:
-            raise ValueError(f"partition group {g} has {len(members)} "
+        steady = group_of[g]
+        hop0 = steady + hot  # disjoint by construction
+        if max(len(hop0), len(steady)) > 64:
+            raise ValueError(f"partition group {g} has {len(hop0)} "
                              f"roots; two-level synthetic root caps at 64")
         rows = []
-        for i in members:
+        for i in hop0:
             rows.extend(sub_rows[i])
         rows = list(dict.fromkeys(rows))  # stable unique
-        n_l2 = (len(members) + 7) // 8 if len(members) > 8 else 0
-        base = 1 + n_l2  # row 0 = root, rows 1..n_l2 = second level
+        # Row layout: [0, b0) = hop-0 root (+ its second level), then —
+        # only when hot subtrees are replicated — [b0, base) = the steady
+        # root used on hops >= 1, then the content rows.
+        b0 = _n_synth(hop0)
+        base = b0 + (_n_synth(steady) if hot else 0)
         remap = {old: new + base for new, old in enumerate(rows)}
         table = np.zeros((base + len(rows), 128), node_rows.dtype)
 
@@ -288,22 +345,30 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                 return -((remap[packed >> 4] << 4) | (packed & 15)) - 1
             return remap[e]
 
-        if n_l2 == 0:
-            table[0] = _synth_row([cut_bounds[i] for i in members],
-                                  [_remap_entry(int(cut_entry[i]))
-                                   for i in members])
-        else:
+        def _emit_root(at: int, members) -> None:
+            n_l2 = (len(members) + 7) // 8 if len(members) > 8 else 0
+            if n_l2 == 0:
+                table[at] = _synth_row([cut_bounds[i] for i in members],
+                                       [_remap_entry(int(cut_entry[i]))
+                                        for i in members])
+                return
             l2_bounds = []
             for k in range(n_l2):
                 chunk = members[k * 8:(k + 1) * 8]
-                table[1 + k] = _synth_row(
+                table[at + 1 + k] = _synth_row(
                     [cut_bounds[i] for i in chunk],
                     [_remap_entry(int(cut_entry[i])) for i in chunk])
                 bb = np.concatenate([
                     cut_bounds[chunk][:, 0:3].min(0),
                     cut_bounds[chunk][:, 3:6].max(0)])
                 l2_bounds.append(bb)
-            table[0] = _synth_row(l2_bounds, list(range(1, 1 + n_l2)))
+            table[at] = _synth_row(l2_bounds,
+                                   list(range(at + 1, at + 1 + n_l2)))
+
+        _emit_root(0, hop0)
+        if hot:
+            steady_root[g] = b0
+            _emit_root(b0, steady)
         for old in rows:
             new = remap[old]
             table[new] = node_rows[old]
@@ -315,17 +380,8 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                 table[new, 48:56] = ent.view(np.float32)
         locals_.append(table)
         num_rows[g] = table.shape[0]
-        if members:
-            dev_bounds[g, 0:3] = cut_bounds[members][:, 0:3].min(0)
-            dev_bounds[g, 3:6] = cut_bounds[members][:, 3:6].max(0)
-        else:
-            # Empty device (tiny scene): a far-away point box whose slab
-            # entry always exceeds t_max, so no ray ever routes here. (An
-            # inverted +-inf box would HIT under the per-axis min/max slab
-            # formulation; empty child slots get away with it only because
-            # their INVALID entries are filtered after the slab test.)
-            dev_bounds[g, 0:3] = 1e30
-            dev_bounds[g, 3:6] = 1e30
+        _bounds_union(steady, dev_bounds[g])
+        _bounds_union(hop0, dev_bounds0[g])
 
     Mp = max(t.shape[0] for t in locals_)
     Mp = max(Mp, 2)
@@ -333,4 +389,5 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     for g, t in enumerate(locals_):
         tables[g, :t.shape[0]] = t
     return Partition(tables=tables, dev_bounds=dev_bounds,
-                     num_rows=num_rows)
+                     num_rows=num_rows, dev_bounds0=dev_bounds0,
+                     steady_root=steady_root)

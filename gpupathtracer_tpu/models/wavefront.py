@@ -76,7 +76,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
       cam: CameraParams.
       pixel_x, pixel_y: [N] int32 pixel coordinates for each lane.
       key: threefry key for this (sample, chunk).
-      partition: optional (local_table [M', 128], dev_bounds [D, 6]) —
+      partition: optional (local_table [M', 128], dev_bounds) where
+        dev_bounds is [D, 6] or a parallel/partition.py RouteInfo —
         scene-PARTITIONED multi-chip mode (parallel/partition.py): must be
         called inside shard_map over `partition_axis` with `num_chips`
         devices; every traversal rides the ppermute ring against per-chip

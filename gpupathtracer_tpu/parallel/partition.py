@@ -26,6 +26,7 @@ dispatch grid (Renderer.cpp:660) cannot express.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,20 +37,47 @@ from gpupathtracer_tpu.bvh.partition import Partition, build_partition
 from gpupathtracer_tpu.ops.traverse import Hit, _safe_inv
 
 
+class RouteInfo(NamedTuple):
+    """Replicated per-device routing metadata (a pytree; passes through
+    shard_map with a P() spec). With hot-subtree replication
+    (bvh/partition.py replicate_hot) hop 0 routes/traverses a different
+    forest than later hops — steady hops start at `steady_root` and skip
+    the replicated hot subtrees, which every ray already saw on its home
+    chip."""
+
+    dev_bounds: jax.Array   # [D, 6] steady forest union (hops >= 1)
+    dev_bounds0: jax.Array  # [D, 6] hop-0 forest union (incl. hot)
+    steady_root: jax.Array  # [D] i32 root row for hops >= 1
+
+
 def shard_partition(part: Partition, mesh: Mesh, axis: str = "chips"):
-    """Device-put the partition: tables sharded over `axis`, bounds
-    replicated."""
+    """Device-put the partition: tables sharded over `axis`, RouteInfo
+    (bounds + steady roots) replicated."""
     tables = jax.device_put(
         jnp.asarray(part.tables),
         NamedSharding(mesh, P(axis)))
-    dev_bounds = jax.device_put(jnp.asarray(part.dev_bounds),
-                                NamedSharding(mesh, P()))
-    return tables, dev_bounds
+    rep = NamedSharding(mesh, P())
+    db = jnp.asarray(part.dev_bounds)
+    db0 = (jnp.asarray(part.dev_bounds0) if part.dev_bounds0 is not None
+           else db)
+    sroot = (jnp.asarray(part.steady_root, jnp.int32)
+             if part.steady_root is not None
+             else jnp.zeros((part.tables.shape[0],), jnp.int32))
+    route = RouteInfo(dev_bounds=jax.device_put(db, rep),
+                      dev_bounds0=jax.device_put(db0, rep),
+                      steady_root=jax.device_put(sroot, rep))
+    return tables, route
 
 
 def _local_trace(table, o, d, t_max, active, *, stack_depth, leaf_size,
-                 packet_size, any_hit, interpret):
-    """One chip's traversal of its local subtree (root = synthetic row 0)."""
+                 packet_size, any_hit, interpret, root=None,
+                 with_pops=False):
+    """One chip's traversal of its local subtree (root = synthetic row 0,
+    or the scalar `root` entry — the steady root on hops >= 1 when hot
+    subtrees are replicated). with_pops appends the summed kernel pop
+    count (node + leaf) — the actual traversal work, which the routed-ray
+    count cannot stand in for once per-visit table sizes differ (hot
+    replication)."""
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     n = o.shape[0]
     K = max(LANES, (min(packet_size, n) // LANES) * LANES)
@@ -62,14 +90,21 @@ def _local_trace(table, o, d, t_max, active, *, stack_depth, leaf_size,
         active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
     NP = n + pad
     Pk = NP // K
-    t, prim, u, v = traverse_pallas(
+    roots = None if root is None else jnp.full((Pk,), root, jnp.int32)
+    out = traverse_pallas(
         table, o.reshape(Pk, K, 3), d.reshape(Pk, K, 3),
-        t_max.reshape(Pk, K), active.reshape(Pk, K),
+        t_max.reshape(Pk, K), active.reshape(Pk, K), roots=roots,
         stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
         ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
-        interpret=interpret)
+        interpret=interpret, with_stats=with_pops)
+    if with_pops:
+        t, prim, u, v, st = out
+        pops = jnp.sum(st[:, :2], dtype=jnp.int32)
+    else:
+        t, prim, u, v = out
+        pops = None
     return (t.reshape(NP)[:n], prim.reshape(NP)[:n],
-            u.reshape(NP)[:n], v.reshape(NP)[:n])
+            u.reshape(NP)[:n], v.reshape(NP)[:n], pops)
 
 
 def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
@@ -82,16 +117,25 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
 
     Args:
       table: this chip's [M', 128] local subtree table.
-      dev_bounds: [D, 6] forest bounds of every chip (replicated).
+      dev_bounds: [D, 6] forest bounds of every chip (replicated), or a
+        RouteInfo carrying separate hop-0 bounds + steady roots (hot
+        subtrees replicated on every chip, served at hop 0 only).
       o, d, t_max, active: this chip's resident ray shard [n].
     Returns (t, prim, u, v) for the rays that STARTED on this chip.
-    With with_stats also returns a [2, D] i32 row: per-hop count of rays
-    ROUTED into this chip's subtree (`here`) and of rays whose best hit
-    IMPROVED (`better`) — the measured inputs of the PERF.md ICI model.
+    With with_stats also returns a [3, D] i32 row: per-hop count of rays
+    ROUTED into this chip's subtree (`here`), of rays whose best hit
+    IMPROVED (`better`), and of kernel POPS (node + leaf — the actual
+    traversal work; visits are not comparable when hot replication gives
+    hop 0 a larger root) — the measured inputs of the PERF.md ICI model.
     """
     D = num_devices
     me = jax.lax.axis_index(axis_name)
     n = o.shape[0]
+    if isinstance(dev_bounds, RouteInfo):
+        steady_b, hop0_b, sroot = dev_bounds
+    else:
+        steady_b = hop0_b = dev_bounds
+        sroot = None
 
     t = t_max.astype(jnp.float32)
     prim = jnp.full((n,), -1, jnp.int32)
@@ -101,14 +145,18 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
 
     state = (o, d, t, prim, u, v, act)
     perm = [(i, (i + 1) % D) for i in range(D)]
-    routed, improved = [], []
+    routed, improved, pops = [], [], []
 
     for step in range(D):
         o_c, d_c, t_c, prim_c, u_c, v_c, act_c = state
         # Route: does this ray enter my forest closer than its current hit?
+        # Hop 0 serves the home shard against the hop-0 root (steady +
+        # replicated hot subtrees); later hops start at the steady root.
+        bounds = hop0_b if step == 0 else steady_b
+        root = None if (sroot is None or step == 0) else sroot[me]
         inv = _safe_inv(d_c)
-        lo = dev_bounds[me, 0:3][None, :]
-        hi = dev_bounds[me, 3:6][None, :]
+        lo = bounds[me, 0:3][None, :]
+        hi = bounds[me, 3:6][None, :]
         t0 = (lo - o_c) * inv
         t1 = (hi - o_c) * inv
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
@@ -117,10 +165,10 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
         if any_hit:
             here = here & (prim_c < 0)
 
-        tt, pp, uu, vv = _local_trace(
+        tt, pp, uu, vv, np_ = _local_trace(
             table, o_c, d_c, t_c, here, stack_depth=stack_depth,
             leaf_size=leaf_size, packet_size=packet_size, any_hit=any_hit,
-            interpret=interpret)
+            interpret=interpret, root=root, with_pops=with_stats)
         better = here & (pp >= 0) & (tt < t_c)
         t_c = jnp.where(better, tt, t_c)
         prim_c = jnp.where(better, pp, prim_c)
@@ -130,6 +178,7 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
         if with_stats:
             routed.append(jnp.sum(here, dtype=jnp.int32))
             improved.append(jnp.sum(better, dtype=jnp.int32))
+            pops.append(np_)
 
         state = (o_c, d_c, t_c, prim_c, u_c, v_c, act_c)
         if step < D - 1:
@@ -139,7 +188,8 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
     _, _, t, prim, u, v, _ = state
     if with_stats:
         return t, prim, u, v, jnp.stack([jnp.stack(routed),
-                                         jnp.stack(improved)])
+                                         jnp.stack(improved),
+                                         jnp.stack(pops)])
     return t, prim, u, v
 
 
@@ -223,8 +273,8 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
                               axis: str = "chips",
                               interpret: bool | None = None):
     """shard_map wrapper: full [N] rays in, full [N] Hit out (N must divide
-    the chips axis). with_stats additionally returns a [D, 2, D] i32 array
-    of per-(owner-chip, hop) routed/improved ray counts."""
+    the chips axis). with_stats additionally returns a [D, 3, D] i32 array
+    of per-(owner-chip, hop) routed/improved ray counts and kernel pops."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = mesh.shape[axis]
@@ -242,7 +292,7 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
             with_stats=with_stats, interpret=interpret)
         if with_stats:
             t_, p_, u_, v_, cnt = out
-            return t_, p_, u_, v_, cnt[None]  # [1, 2, D] -> gathers to [D, 2, D]
+            return t_, p_, u_, v_, cnt[None]  # [1, 3, D] -> gathers to [D, 3, D]
         return out
 
     out = run(tables, dev_bounds, o, d, t_max, active)

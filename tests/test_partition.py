@@ -134,14 +134,18 @@ def test_partitioned_stats_counters(bunny):
                                            tmax, act, with_stats=True, **kw)
     np.testing.assert_array_equal(np.asarray(hit.t), np.asarray(plain.t))
     s = np.asarray(stats)
-    assert s.shape == (8, 2, 8)
-    routed, improved = s[:, 0, :], s[:, 1, :]
+    assert s.shape == (8, 3, 8)
+    routed, improved, pops = s[:, 0, :], s[:, 1, :], s[:, 2, :]
     assert (improved <= routed).all()
     n_hits = int((np.asarray(hit.prim) >= 0).sum())
     assert improved.sum() >= n_hits > 0
     n_act = int(np.asarray(act).sum())
     v = routed.sum() / n_act
     assert 0.0 < v <= 8.0
+    # Kernel pops (node + leaf): real work happens exactly where rays
+    # route — every hop with routed rays pops at least the local root.
+    assert (pops[routed > 0] > 0).all()
+    assert pops.sum() >= routed.sum() // 128  # >= one pop per packet
 
 
 def test_partitioned_occlusion_matches_replicated(bunny):
@@ -258,3 +262,61 @@ def test_partitioned_render_with_samples_axis(bunny):
     # 2 accumulated samples per pixel, summed over the samples axis.
     assert c.shape == (N, 3) and np.isfinite(c).all() and c.mean() > 0
     assert int(rays) > 2 * N
+
+
+def test_partitioned_trace_replicate_hot(bunny):
+    """Hot-subtree replication (build_partition(replicate_hot=K)): hop-0
+    roots carry the K hottest subtrees on EVERY chip, steady roots drop
+    them everywhere (including the former owner), so each ray still sees
+    each subtree exactly once — results must match the replicated
+    whole-tree traversal exactly, closest and any-hit."""
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 8, replicate_hot=2)
+    base = build_partition(rows, W, 8, replicate_hot=0)
+
+    # Structure: a steady root exists past the hop-0 root, tables grew by
+    # the replicated rows, and the hop-0 forest union covers the steady.
+    assert (part.steady_root > 0).all()
+    assert int(part.num_rows.sum()) > int(base.num_rows.sum())
+    assert (part.dev_bounds0[:, 0:3] <= part.dev_bounds[:, 0:3] + 1e-6).all()
+
+    # Leaf coverage: hop-0 roots alone cover the full tree's triangles on
+    # every chip's ray population (union over chips of steady + hot).
+    union = set()
+    for g in range(8):
+        union |= _leaf_rows_of(part.tables[g], root_entry=0)
+        # steady root reaches a subset of the hop-0 root's leaves
+        steady = _leaf_rows_of(part.tables[g],
+                               root_entry=int(part.steady_root[g]))
+        assert steady <= _leaf_rows_of(part.tables[g], root_entry=0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    tables, route = shard_partition(part, mesh)
+
+    N = 1024
+    rng = np.random.RandomState(21)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.asarray(rng.rand(N) > 0.1)
+    kw = dict(stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+              packet_size=128)
+
+    ref = trace_closest(scene, o, d, tmax, act, traversal="pallas", **kw)
+    hit = trace_closest_partitioned(mesh, tables, route, o, d, tmax,
+                                    act, **kw)
+    t_p, t_r = np.asarray(hit.t), np.asarray(ref.t)
+    np.testing.assert_allclose(t_p, t_r, rtol=1e-5, atol=1e-5)
+    same = np.asarray(hit.prim) == np.asarray(ref.prim)
+    assert (same | np.isclose(t_p, t_r, rtol=1e-6, atol=1e-6)).all()
+
+    tm3 = jnp.full((N,), 3.0, jnp.float32)
+    occ_ref = trace_occluded(scene, o, d, tm3, act, traversal="pallas",
+                             **kw)
+    occ = trace_closest_partitioned(mesh, tables, route, o, d, tm3, act,
+                                    any_hit=True, **kw)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))

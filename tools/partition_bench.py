@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--grouping", default="spatial",
                     choices=["spatial", "spatial-area", "demand", "lpt"])
+    ap.add_argument("--replicate-hot", type=int, default=4)
+    ap.add_argument("--baseline", action="store_true",
+                    help="also trace the replicated WHOLE tree (single "
+                         "chip, same kernel/packets) and report its "
+                         "pops/ray — the denominator of the modeled "
+                         "multi-chip compute win")
     args = ap.parse_args()
 
     from gpupathtracer_tpu.bvh.partition import build_partition
@@ -67,18 +73,22 @@ def main():
     scene, meta = load_scene(cfg)
     rows = np.asarray(scene.bvh.node_rows)
     part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
-                           grouping=args.grouping)
+                           grouping=args.grouping,
+                           replicate_hot=args.replicate_hot)
     devs = np.asarray(jax.devices()[:D]).reshape(D,)
     mesh = Mesh(devs, axis_names=("chips",))
     tables, dev_bounds = shard_partition(part, mesh)
     print(f"# {args.scene}: whole table {rows.shape[0]} rows; per-chip "
           f"{tables.shape[1]} rows (pad incl.); grouping={args.grouping}; "
+          f"replicate_hot={args.replicate_hot}; "
           f"live rows/chip={part.num_rows.tolist()}", flush=True)
 
     n = args.n
     key = jax.random.PRNGKey(7)
-    lo = np.asarray(dev_bounds)[:, 0:3].min(0)
-    hi = np.asarray(dev_bounds)[:, 3:6].max(0)
+    scene_b = np.asarray(part.dev_bounds0)
+    scene_b = scene_b[scene_b[:, 0] < 1e29]  # drop empty-forest far boxes
+    lo = scene_b[:, 0:3].min(0)
+    hi = scene_b[:, 3:6].max(0)
 
     # Coherent population: camera rays.
     cam = generate_image_plane(cfg.camera)
@@ -108,29 +118,61 @@ def main():
             stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
             any_hit=any_hit, with_stats=True)
         _, stats = out
-        s = np.asarray(stats)          # [D_chip, 2, D_hop]
-        routed, improved = s[:, 0, :], s[:, 1, :]
-        per_chip = routed.sum(1)       # total traversal work per chip
+        s = np.asarray(stats)          # [D_chip, 3, D_hop]
+        routed, improved, pops = s[:, 0, :], s[:, 1, :], s[:, 2, :]
+        per_chip = routed.sum(1)       # total routed rays per chip
         per_hop = routed.sum(0)        # total routed per hop index
         v = routed.sum() / m
         imb = per_chip.max() / max(per_chip.mean(), 1e-9)
         # Wall-clock proxy: every hop is a barrier, so the slowest chip
-        # gates it — sum over hops of the max-over-chips routed count,
-        # vs the perfectly-balanced sum/D.
+        # gates it — sum over hops of the max-over-chips count, vs the
+        # perfectly-balanced sum/D. POPS (node+leaf kernel pops) is the
+        # honest work unit: a routed 'visit' is not comparable across
+        # replicate_hot settings (hop 0's root spans steady + hot).
         barrier = routed.max(0).sum()
         ideal = routed.sum() / routed.shape[0]
+        pbar = pops.max(0).sum()
+        pideal = pops.sum() / pops.shape[0]
         print(f"{tag}: hops/ray V = {v:.2f} of {routed.shape[1]}, "
               f"improved/ray = {improved.sum()/m:.2f}, "
               f"chip load max/mean = {imb:.2f}, "
               f"barrier cost/ideal = {barrier/max(ideal, 1e-9):.2f}",
               flush=True)
+        print(f"   pops/ray = {pops.sum()/m:.2f}, pops barrier/ideal = "
+              f"{pbar/max(pideal, 1e-9):.2f}, wall proxy (max pops/hop "
+              f"summed)/ray = {pbar/m:.2f}", flush=True)
         print(f"   per-chip routed: {per_chip.tolist()}", flush=True)
+        print(f"   per-chip pops  : {pops.sum(1).tolist()}", flush=True)
         print(f"   per-hop routed : {per_hop.tolist()}", flush=True)
         return v, imb
+
+    def run_whole(tag, o, d, m, any_hit, tmax=None):
+        """Replicated whole-tree pops/ray — same kernel, same 2048-ray
+        packets, one 'chip': the single-table work the partition is
+        judged against (its wall proxy must beat this /ray number)."""
+        from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
+        K = 2048
+        m2 = (m // K) * K
+        tm = jnp.full((m2,), 1e20 if tmax is None else tmax, jnp.float32)
+        out = traverse_pallas(
+            jnp.asarray(rows), o[:m2].reshape(-1, K, 3),
+            d[:m2].reshape(-1, K, 3), tm.reshape(-1, K),
+            jnp.ones((m2 // K, K), bool),
+            stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+            any_hit=any_hit, ordered=not any_hit, interpret=True,
+            with_stats=True)
+        pops = int(np.asarray(out[4])[:, :2].sum())
+        print(f"{tag} WHOLE-TREE: pops/ray = {pops/m2:.2f} "
+              f"({m2} rays, table {rows.shape[0]} rows)", flush=True)
 
     run("coherent  closest", o_c, d_c, nc, False)
     run("incoherent closest", o_i, d_i, n, False)
     run("incoherent any-hit (tmax=20)", o_i, d_i, n, True, tmax=20.0)
+    if args.baseline:
+        run_whole("coherent  closest", o_c, d_c, nc, False)
+        run_whole("incoherent closest", o_i, d_i, n, False)
+        run_whole("incoherent any-hit (tmax=20)", o_i, d_i, n, True,
+                  tmax=20.0)
 
     # ICI model refresh: bytes/ray/hop is fixed at ~44; what V changes is
     # the COMPUTE per hop (masked rays still ride the ring but skip the
