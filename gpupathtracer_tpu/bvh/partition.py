@@ -184,18 +184,28 @@ def _group_spatial(cut_bounds: np.ndarray, weights: np.ndarray, D: int):
 
 
 def _demand_weights(cut_bounds: np.ndarray, n_rays: int = 8192,
-                    seed: int = 17) -> np.ndarray:
-    """Per-cut-entry routed-demand estimate: the fraction of a random
-    interior ray population (origins uniform in the scene bounds,
-    directions uniform on the sphere) whose slab enters the entry's
-    bounds — numerically the same test trace_partitioned_local routes
-    with (unbounded t). Host-side numpy, ~C x n_rays slab tests."""
-    rng = np.random.RandomState(seed)
-    lo = cut_bounds[:, 0:3].min(0)
-    hi = cut_bounds[:, 3:6].max(0)
-    o = rng.uniform(lo, hi, (n_rays, 3)).astype(np.float32)
-    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
-    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+                    seed: int = 17, rays=None) -> np.ndarray:
+    """Per-cut-entry routed-demand estimate: the fraction of a ray
+    population whose slab enters the entry's bounds — numerically the
+    same test trace_partitioned_local routes with (unbounded t).
+    Default population: random interior rays (origins uniform in the
+    scene bounds, directions uniform on the sphere) — the incoherent
+    bounce-wavefront stand-in. Pass `rays=(o, d)` (numpy [n, 3] each) to
+    estimate against the actual workload instead, e.g. camera primaries
+    mixed with random bounces (PERF.md replicate-hot follow-up: the
+    coherent-primary pops barrier concentrates on the camera-facing
+    subtrees, which random demand does not select). Host-side numpy,
+    ~C x n_rays slab tests."""
+    if rays is not None:
+        o = np.asarray(rays[0], np.float32)
+        d = np.asarray(rays[1], np.float32)
+    else:
+        rng = np.random.RandomState(seed)
+        lo = cut_bounds[:, 0:3].min(0)
+        hi = cut_bounds[:, 3:6].max(0)
+        o = rng.uniform(lo, hi, (n_rays, 3)).astype(np.float32)
+        d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
     inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
     t0 = (cut_bounds[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
     t1 = (cut_bounds[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
@@ -207,7 +217,8 @@ def _demand_weights(cut_bounds: np.ndarray, n_rays: int = 8192,
 
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     num_devices: int, grouping: str = "spatial",
-                    replicate_hot: int = 4) -> Partition:
+                    replicate_hot: int = 4,
+                    demand_rays=None) -> Partition:
     """Split the merged table into `num_devices` compact local tables.
 
     grouping: "spatial" (default; weight-balanced kd split of the cut —
@@ -230,7 +241,13 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     for barrier balance. Default K=4: measured pareto-win on every ray
     population (PERF.md replicate-hot table: wall proxy -6% incoherent
     closest, -10% coherent, -43% any-hit; total pops flat; +20%
-    rows/chip)."""
+    rows/chip).
+
+    demand_rays: optional (o, d) numpy arrays — the ray population for
+    the demand estimate (hot selection and grouping="demand" weights);
+    default is the random interior stand-in. Pass the actual workload
+    (e.g. camera primaries + random bounces) when known; the partition
+    is rebuilt per scene load, where the camera is available."""
     D = int(num_devices)
     W = int(num_wide_nodes)
     entry_all = node_rows[:W, 48:56].copy().view(np.int32)
@@ -259,7 +276,7 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
             # incoherent bounce-ray stand-in) against its bounds — the
             # same mask parallel/partition.py routes with, so group
             # weights equalize the expected per-hop barrier directly.
-            w = _demand_weights(cut_bounds)
+            w = _demand_weights(cut_bounds, rays=demand_rays)
         else:
             w = np.asarray([len(r) for r in sub_rows], np.float64)
         group_of = _group_spatial(cut_bounds, w, D)
@@ -291,7 +308,8 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     hot: list = []
     if replicate_hot > 0:
         hot = [int(h) for h in
-               np.argsort(-_demand_weights(cut_bounds))[:replicate_hot]]
+               np.argsort(-_demand_weights(cut_bounds,
+                                           rays=demand_rays))[:replicate_hot]]
         hot_set = set(hot)
         # Hot entries leave their owner's steady set — they are served at
         # hop 0 on every ray's home chip instead.

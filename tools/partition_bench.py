@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--grouping", default="spatial",
                     choices=["spatial", "spatial-area", "demand", "lpt"])
     ap.add_argument("--replicate-hot", type=int, default=4)
+    ap.add_argument("--hot-demand", default="random",
+                    choices=["random", "camera", "mixed"],
+                    help="ray population for the hot-selection demand "
+                         "estimate: random interior (default), camera "
+                         "primaries, or a 50/50 mix")
     ap.add_argument("--baseline", action="store_true",
                     help="also trace the replicated WHOLE tree (single "
                          "chip, same kernel/packets) and report its "
@@ -72,23 +77,16 @@ def main():
                                   aperture=aperture, focal_distance=focus)
     scene, meta = load_scene(cfg)
     rows = np.asarray(scene.bvh.node_rows)
-    part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
-                           grouping=args.grouping,
-                           replicate_hot=args.replicate_hot)
-    devs = np.asarray(jax.devices()[:D]).reshape(D,)
-    mesh = Mesh(devs, axis_names=("chips",))
-    tables, dev_bounds = shard_partition(part, mesh)
-    print(f"# {args.scene}: whole table {rows.shape[0]} rows; per-chip "
-          f"{tables.shape[1]} rows (pad incl.); grouping={args.grouping}; "
-          f"replicate_hot={args.replicate_hot}; "
-          f"live rows/chip={part.num_rows.tolist()}", flush=True)
+
+    # Scene bounds from the wide root's child boxes (empty slots are
+    # inverted +-inf boxes; drop them).
+    root_b = rows[0, 0:48].reshape(8, 6)
+    valid = root_b[:, 0] <= root_b[:, 3]
+    lo = root_b[valid, 0:3].min(0)
+    hi = root_b[valid, 3:6].max(0)
 
     n = args.n
     key = jax.random.PRNGKey(7)
-    scene_b = np.asarray(part.dev_bounds0)
-    scene_b = scene_b[scene_b[:, 0] < 1e29]  # drop empty-forest far boxes
-    lo = scene_b[:, 0:3].min(0)
-    hi = scene_b[:, 3:6].max(0)
 
     # Coherent population: camera rays.
     cam = generate_image_plane(cfg.camera)
@@ -108,6 +106,28 @@ def main():
                              maxval=jnp.asarray(hi))
     d_i = jax.random.normal(kd, (n, 3))
     d_i = d_i / jnp.linalg.norm(d_i, axis=1, keepdims=True)
+
+    demand_rays = None
+    if args.hot_demand == "camera":
+        demand_rays = (np.asarray(o_c), np.asarray(d_c))
+    elif args.hot_demand == "mixed":
+        h = min(nc, n) // 2
+        demand_rays = (
+            np.concatenate([np.asarray(o_c)[:h], np.asarray(o_i)[:h]]),
+            np.concatenate([np.asarray(d_c)[:h], np.asarray(d_i)[:h]]))
+
+    part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
+                           grouping=args.grouping,
+                           replicate_hot=args.replicate_hot,
+                           demand_rays=demand_rays)
+    devs = np.asarray(jax.devices()[:D]).reshape(D,)
+    mesh = Mesh(devs, axis_names=("chips",))
+    tables, dev_bounds = shard_partition(part, mesh)
+    print(f"# {args.scene}: whole table {rows.shape[0]} rows; per-chip "
+          f"{tables.shape[1]} rows (pad incl.); grouping={args.grouping}; "
+          f"replicate_hot={args.replicate_hot}; "
+          f"hot_demand={args.hot_demand}; "
+          f"live rows/chip={part.num_rows.tolist()}", flush=True)
 
     def run(tag, o, d, m, any_hit, tmax=None):
         tm = (jnp.full((m,), 1e20, jnp.float32) if tmax is None
