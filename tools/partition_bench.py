@@ -42,10 +42,12 @@ def main():
                     choices=["spatial", "spatial-area", "demand", "lpt"])
     ap.add_argument("--replicate-hot", type=int, default=4)
     ap.add_argument("--hot-demand", default="random",
-                    choices=["random", "camera", "mixed"],
-                    help="ray population for the hot-selection demand "
-                         "estimate: random interior (default), camera "
-                         "primaries, or a 50/50 mix")
+                    choices=["random", "camera", "mixed", "pilot"],
+                    help="hot-selection demand estimate: slab-entry "
+                         "counts of random interior rays (default), "
+                         "camera primaries, a 50/50 mix — or 'pilot': "
+                         "POPS-ATTRIBUTED per-lane node-visit counts of "
+                         "the 50/50 pilot batch (sees traversal depth)")
     ap.add_argument("--baseline", action="store_true",
                     help="also trace the replicated WHOLE tree (single "
                          "chip, same kernel/packets) and report its "
@@ -108,6 +110,7 @@ def main():
     d_i = d_i / jnp.linalg.norm(d_i, axis=1, keepdims=True)
 
     demand_rays = None
+    hot_entries = None
     if args.hot_demand == "camera":
         demand_rays = (np.asarray(o_c), np.asarray(d_c))
     elif args.hot_demand == "mixed":
@@ -115,11 +118,31 @@ def main():
         demand_rays = (
             np.concatenate([np.asarray(o_c)[:h], np.asarray(o_i)[:h]]),
             np.concatenate([np.asarray(d_c)[:h], np.asarray(d_i)[:h]]))
+    elif args.hot_demand == "pilot" and args.replicate_hot > 0:
+        from gpupathtracer_tpu.bvh.partition import (node_bucket_map,
+                                                     partition_cut)
+        from gpupathtracer_tpu.ops.traverse import count_entry_visits
+        W = scene.bvh.child_bounds.shape[0]
+        cut_e, _ = partition_cut(rows, W, D)
+        bucket = node_bucket_map(rows, W, cut_e)
+        h = min(nc, n) // 2
+        po = jnp.concatenate([o_c[:h], o_i[:h]])
+        pd = jnp.concatenate([d_c[:h], d_i[:h]])
+        counts = np.asarray(count_entry_visits(
+            scene.bvh, scene.tri_geom, po, pd,
+            jnp.full((2 * h,), 1e20, jnp.float32), bucket,
+            len(cut_e) + 1, stack_depth=meta.stack_depth,
+            leaf_size=meta.leaf_size))[:len(cut_e)]
+        hot_entries = np.argsort(-counts)[:args.replicate_hot]
+        print(f"# pilot demand: top entries {hot_entries.tolist()} "
+              f"visits {counts[hot_entries].tolist()} of "
+              f"{counts.sum()} total", flush=True)
 
     part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
                            grouping=args.grouping,
                            replicate_hot=args.replicate_hot,
-                           demand_rays=demand_rays)
+                           demand_rays=demand_rays,
+                           hot_entries=hot_entries)
     devs = np.asarray(jax.devices()[:D]).reshape(D,)
     mesh = Mesh(devs, axis_names=("chips",))
     tables, dev_bounds = shard_partition(part, mesh)
@@ -186,6 +209,19 @@ def main():
               f"({m2} rays, table {rows.shape[0]} rows)", flush=True)
 
     run("coherent  closest", o_c, d_c, nc, False)
+    # Pixel->chip assignment A/B for the coherent population: the per-hop
+    # barrier follows the RAYS (which image region does deep work), not
+    # the subtree ownership — hot replication measured invariant on it.
+    # "deal" hands every D-th pixel (in raster or Morton order) to the
+    # same chip: each chip's shard mixes sky and geometry, trading
+    # within-packet coherence for barrier balance.
+    from gpupathtracer_tpu.utils.morton import ray_order
+    deal = np.argsort(np.arange(nc) % D, kind="stable")
+    run("coherent  closest [deal]", o_c[deal], d_c[deal], nc, False)
+    mo = ray_order(side, side, "morton")
+    mdeal = mo[np.argsort(np.arange(nc) % D, kind="stable")]
+    run("coherent  closest [morton-deal]", o_c[mdeal], d_c[mdeal], nc,
+        False)
     run("incoherent closest", o_i, d_i, n, False)
     run("incoherent any-hit (tmax=20)", o_i, d_i, n, True, tmax=20.0)
     if args.baseline:
