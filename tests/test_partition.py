@@ -362,3 +362,37 @@ def test_pilot_visit_counts(bunny):
                       stack_depth=meta.stack_depth,
                       leaf_size=meta.leaf_size)
     assert np.isfinite(np.asarray(ref.t)).all()
+
+
+def test_replicate_hot_two_level_roots(bunny):
+    """D=3 partition with 6 replicated hot entries: hop-0 roots hold >8
+    children, so they need a second synthetic level and the steady root
+    lands past it (the _emit_root(at>0) layout). Equivalence vs the
+    replicated tree on a 3-chip mesh."""
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 3, replicate_hot=6)
+    # The layout actually grew second levels (else this test is vacuous).
+    assert (part.steady_root > 1).any(), part.steady_root
+    mesh = Mesh(np.array(jax.devices()[:3]), axis_names=("chips",))
+    tables, route = shard_partition(part, mesh)
+
+    N = 510  # divides the 3-chip axis
+    rng = np.random.RandomState(31)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.ones((N,), bool)
+    kw = dict(stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+              packet_size=128)
+
+    ref = trace_closest(scene, o, d, tmax, act, traversal="pallas", **kw)
+    hit = trace_closest_partitioned(mesh, tables, route, o, d, tmax,
+                                    act, **kw)
+    t_p, t_r = np.asarray(hit.t), np.asarray(ref.t)
+    np.testing.assert_allclose(t_p, t_r, rtol=1e-5, atol=1e-5)
+    same = np.asarray(hit.prim) == np.asarray(ref.prim)
+    assert (same | np.isclose(t_p, t_r, rtol=1e-6, atol=1e-6)).all()
