@@ -64,6 +64,8 @@ def build_config(args) -> "RenderConfig":
     cfg.frame_batch = args.frame_batch
     cfg.shadow_rev = args.shadow_rev
     cfg.bounce_traversal = args.bounce_traversal
+    cfg.partition_chips = args.partition_chips
+    cfg.partition_samples = args.partition_samples
     if args.chunk:
         cfg.ray_chunk = args.chunk
     return cfg
@@ -108,6 +110,12 @@ def main(argv=None) -> int:
     p.add_argument("--bvh-builder", default="auto",
                    choices=["auto", "cpp", "numpy"])
     p.add_argument("--chunk", type=int, default=0, help="rays per chunk")
+    p.add_argument("--partition-chips", type=int, default=0,
+                   help="scene-PARTITIONED multi-chip render: chips own "
+                        "BVH subtrees, rays ring via ppermute "
+                        "(parallel/partition.py); needs that many devices")
+    p.add_argument("--partition-samples", type=int, default=1,
+                   help="sample replicas composed over the partition")
     p.add_argument("--hdr-out", default=None,
                    help="also dump the raw mean-radiance film as .npy")
     p.add_argument("--stats-json", default=None,

@@ -91,6 +91,10 @@ class RenderConfig:
     use_float32: bool = True
     # Parallelism -----------------------------------------------------------
     mesh_shape: Tuple[int, ...] = (1,)     # device mesh, samples sharded over axis "samples"
+    partition_chips: int = 0               # >0: scene-PARTITIONED mesh — chips own BVH
+    #                                        subtrees, rays ring via ppermute
+    #                                        (parallel/partition.py); overrides mesh_shape
+    partition_samples: int = 1             # sample replicas composed over the partition
     # Camera ---------------------------------------------------------------
     camera: CameraConfig = field(default_factory=CameraConfig)
     # Caching ----------------------------------------------------------------

@@ -53,8 +53,41 @@ class Renderer:
         # `samples_axis_size` spp.
         self.mesh = None
         self.samples_per_frame = 1
+        self.partition = None
         pixels_axis = 1
-        if int(np.prod(cfg.mesh_shape)) > 1:
+        if cfg.partition_chips > 0:
+            # Scene-PARTITIONED mesh (parallel/partition.py): chips own
+            # compacted BVH subtrees (hot ones replicated into hop-0
+            # roots), ray shards ring via ppermute; optional sample
+            # replicas compose on top. The distributed-memory alternative
+            # to the replicated mesh below — per-chip tables sit in the
+            # <=8k-row regime where the packet kernel is fastest (PERF.md
+            # scene-size curve / partitioned-traversal model).
+            if int(np.prod(cfg.mesh_shape)) > 1:
+                raise ValueError("partition_chips and mesh_shape are "
+                                 "mutually exclusive scaling modes")
+            from jax.sharding import Mesh as _Mesh
+
+            from gpupathtracer_tpu.bvh.partition import build_partition
+            from gpupathtracer_tpu.parallel.partition import shard_partition
+            C, S = cfg.partition_chips, max(cfg.partition_samples, 1)
+            devs = jax.devices()
+            if S * C > len(devs):
+                raise ValueError(
+                    f"partition mesh ({S} samples x {C} chips) needs "
+                    f"{S * C} devices, have {len(devs)}")
+            arr = np.asarray(devs[:S * C])
+            if S > 1:
+                self.mesh = _Mesh(arr.reshape(S, C),
+                                  axis_names=("samples", "chips"))
+            else:
+                self.mesh = _Mesh(arr.reshape(C), axis_names=("chips",))
+            part = build_partition(np.asarray(scene.bvh.node_rows),
+                                   scene.bvh.child_bounds.shape[0], C)
+            self.partition = shard_partition(part, self.mesh)
+            self.samples_per_frame = S
+            pixels_axis = C
+        elif int(np.prod(cfg.mesh_shape)) > 1:
             from gpupathtracer_tpu.parallel import make_device_mesh
             self.mesh = make_device_mesh(cfg.mesh_shape)
             sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
@@ -163,7 +196,27 @@ class Renderer:
         float(jnp.sum(self.accum[0]))
 
     def _render_sharded(self, key):
-        """One mesh-sharded frame = samples_per_frame spp (parallel/mesh.py)."""
+        """One mesh-sharded frame = samples_per_frame spp (parallel/mesh.py),
+        or the scene-partitioned step when cfg.partition_chips > 0."""
+        if self.partition is not None:
+            from gpupathtracer_tpu.parallel.partition import \
+                render_sample_partitioned
+            tables, route = self.partition
+            return render_sample_partitioned(
+                self.mesh, tables, route, self.scene, self.camera,
+                self.pixel_x, self.pixel_y, key,
+                sample_base=self.num_samples,
+                sampler=self.cfg.sampler,
+                compaction=self.cfg.compaction,
+                compaction_divs=tuple(self.cfg.compaction_divs),
+                width=self.pad_w, height=self.pad_h,
+                max_bounces=self.cfg.max_bounces,
+                stack_depth=self.meta.stack_depth,
+                leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,
+                packet_size=self.packet_size,
+                textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
+                sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
+                delta=getattr(self.meta, "has_delta", False))
         from gpupathtracer_tpu.parallel import render_sample_sharded
         return render_sample_sharded(
             self.mesh, self.scene, self.camera, self.pixel_x, self.pixel_y,
