@@ -66,6 +66,7 @@ def build_config(args) -> "RenderConfig":
     cfg.bounce_traversal = args.bounce_traversal
     cfg.partition_chips = args.partition_chips
     cfg.partition_samples = args.partition_samples
+    cfg.mip_levels = args.mip_levels
     if args.chunk:
         cfg.ray_chunk = args.chunk
     return cfg
@@ -104,6 +105,9 @@ def main(argv=None) -> int:
     p.add_argument("--bounce-traversal", default="auto",
                    help="bounce-ray traversal override: auto|same|tsort|"
                         "treelet|...")
+    p.add_argument("--mip-levels", type=int, default=1,
+                   help="texture mip pyramid depth (>1 enables trilinear "
+                        "filtering with ray-cone LOD)")
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="pixel jitter: threefry or R2 low-discrepancy")
     p.add_argument("--exposure", type=float, default=1.68)

@@ -83,6 +83,9 @@ class RenderConfig:
     compaction: bool = True                # bounce-epoch live-path compaction
     compaction_divs: Tuple[int, ...] = (4, 16, 64)  # phase width schedule (PERF.md r3 sweep)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)
+    mip_levels: int = 1                    # texture mip pyramid depth; >1 = trilinear
+    #                                        sampling with ray-cone LOD (beyond the
+    #                                        reference, which samples level 0 only)
     pixel_order: str = "morton"            # "morton" | "hilbert" (8x8 blocks)
     packet_size: int = 128                 # rays per XLA shared-stack packet
     pallas_packet_size: int = 2048         # rays per Pallas kernel packet (mult of 128)

@@ -24,7 +24,7 @@ class MaterialInstance(NamedTuple):
 
 def make_material_instance(scene, mat_id, uv=None,
                            textured: bool = False,
-                           row=None) -> MaterialInstance:
+                           row=None, lod=None) -> MaterialInstance:
     """Gather material data for per-lane material ids [N].
 
     All constant fields come from ONE [N, 16] row gather of the packed
@@ -46,14 +46,18 @@ def make_material_instance(scene, mat_id, uv=None,
     emission = row[:, 5:8]
     if textured and uv is not None:
         from gpupathtracer_tpu.ops.texture import sample_atlas
+        # lod (traced [N], from the wavefront's ray-cone estimate) routes
+        # both maps through the trilinear mip path; None = level 0 only.
+        mips = scene.atlas_mips if lod is not None else None
         tex = jax.lax.bitcast_convert_type(row[:, 8], jnp.int32)
         albedo = jnp.where((tex >= 0)[:, None],
                            sample_atlas(scene.atlas_image, scene.atlas_rects,
-                                        tex, uv), albedo)
+                                        tex, uv, mips=mips, lod=lod), albedo)
         # Metallic-roughness map (glTF convention: G = roughness factor,
         # B = metallic factor; both multiply the material constants).
         mr = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
-        mr_rgb = sample_atlas(scene.atlas_image, scene.atlas_rects, mr, uv)
+        mr_rgb = sample_atlas(scene.atlas_image, scene.atlas_rects, mr, uv,
+                              mips=mips, lod=lod)
         has_mr = mr >= 0
         g = jnp.where(has_mr, g * mr_rgb[:, 1], g)
         metallic = jnp.where(has_mr, metallic * mr_rgb[:, 2], metallic)

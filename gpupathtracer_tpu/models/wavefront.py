@@ -54,6 +54,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        treelet_min: int = 1 << 15,
                        packet_size: int = 128,
                        textured: bool = False,
+                       mips: bool = False,
                        sun: bool = False,
                        sun_mode: str = "disk",
                        sort_rays: bool = False,
@@ -88,6 +89,14 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
     statistics for Mrays/s reporting (SURVEY.md §5 tracing).
     """
     n = pixel_x.shape[0]
+    if mips and textured:
+        # Ray-cone LOD input: angular width of one pixel, recovered from
+        # the traced camera basis (|vertical| = 2 tan(fov/2) * focal_dist,
+        # and focal_dist = |lower_left + h/2 + v/2| since |direction|=1).
+        _fd = jnp.linalg.norm(cam.lower_left + 0.5 * cam.horizontal
+                              + 0.5 * cam.vertical)
+        pixel_cone = (jnp.linalg.norm(cam.vertical)
+                      / (jnp.maximum(_fd, 1e-6) * height))
     if partition is not None:
         # Scene-partitioned mode: traversal is the ring, not a local
         # kernel choice; lane-reordering machinery stays off.
@@ -264,7 +273,22 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         # Miss lanes carry triangle 0's material row — a valid row; every
         # use below is masked by miss/alive.
         mrow = shade[:, 16:32]
-        mat = make_material_instance(scene, None, uv, textured, row=mrow)
+        lod = None
+        if mips and textured:
+            # Ray-cone mip LOD (segment-length approximation; the
+            # reference has no mip path at all). Footprint in world units
+            # = t * pixel_cone, stretched at grazing incidence; texels
+            # covered = footprint * texel density (shade col 10, uv/world
+            # units) * level-0 resolution.
+            tex0 = jax.lax.bitcast_convert_type(mrow[:, 8], jnp.int32)
+            rw = scene.atlas_rects[jnp.maximum(tex0, 0), 2].astype(
+                jnp.float32)
+            ndv = jnp.abs(dot(shade[:, 0:3], c.d))
+            foot = hit.t * pixel_cone / jnp.maximum(ndv, 0.2)
+            texels = foot * shade[:, 10] * rw
+            lod = jnp.log2(jnp.maximum(texels, 1.0))
+        mat = make_material_instance(scene, None, uv, textured, row=mrow,
+                                     lod=lod)
         view_dir = -c.d
         inter = make_interaction(normal, view_dir)
 
@@ -494,7 +518,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 _STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
     "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
-    "textured", "sun", "sun_mode", "sort_rays", "shadow_rev",
+    "textured", "mips", "sun", "sun_mode", "sort_rays", "shadow_rev",
     "shadow_sort", "tsort_alternate", "delta",
     "compaction", "compaction_divs", "compaction_min", "sampler",
     "partition_axis", "num_chips")

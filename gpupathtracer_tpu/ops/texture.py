@@ -13,14 +13,37 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_atlas(atlas_image, atlas_rects, tex_id, uv):
-    """Bilinear atlas lookup.
+def sample_atlas(atlas_image, atlas_rects, tex_id, uv,
+                 mips=None, lod=None):
+    """Bilinear atlas lookup; trilinear when a mip table + lod is given.
 
-    atlas_image: [H, W, 3] f32; atlas_rects: [S, 4] i32 (x, y, w, h);
+    atlas_image: [H, W, 3] f32; atlas_rects: [R, 4] i32 (x, y, w, h);
     tex_id: [N] i32 (invalid ids must be pre-masked by the caller);
     uv: [N, 2] f32, REPEAT-wrapped per sub-rect. Returns [N, 3].
-    """
-    rect = atlas_rects[jnp.maximum(tex_id, 0)]       # [N, 4]
+
+    mips: [S, L] i32 per-texture level->rect table (scene.atlas_mips,
+    built by scene/textures.py); lod: [N] f32 mip level — blends the two
+    bracketing levels (trilinear; the reference samples level 0 only,
+    Texture.cpp:127-130)."""
+    if mips is not None and lod is not None and mips.shape[1] > 1:
+        L = mips.shape[1]
+        lod = jnp.clip(lod, 0.0, float(L - 1))
+        l0 = jnp.floor(lod)
+        f = (lod - l0)[:, None]
+        row = mips[jnp.maximum(tex_id, 0)]           # [N, L]
+        l0i = l0.astype(jnp.int32)
+        r0 = jnp.take_along_axis(row, l0i[:, None], axis=1)[:, 0]
+        r1 = jnp.take_along_axis(row, jnp.minimum(l0i + 1, L - 1)[:, None],
+                                 axis=1)[:, 0]
+        c0 = _bilinear(atlas_image, atlas_rects, r0, uv)
+        c1 = _bilinear(atlas_image, atlas_rects, r1, uv)
+        return c0 * (1.0 - f) + c1 * f
+    return _bilinear(atlas_image, atlas_rects, jnp.maximum(tex_id, 0), uv)
+
+
+def _bilinear(atlas_image, atlas_rects, rect_id, uv):
+    """Bilinear lookup of rect rows `rect_id` [N] (REPEAT wrap)."""
+    rect = atlas_rects[rect_id]                      # [N, 4]
     rx = rect[:, 0].astype(jnp.float32)
     ry = rect[:, 1].astype(jnp.float32)
     rw = rect[:, 2].astype(jnp.float32)

@@ -214,7 +214,8 @@ class Renderer:
                 stack_depth=self.meta.stack_depth,
                 leaf_size=self.meta.leaf_size, model=self.cfg.microfacet,
                 packet_size=self.packet_size,
-                textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
+                textured=self.meta.has_textures,
+                mips=self.meta.mip_levels > 1, sun=self.cfg.sun_enabled,
                 sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
                 delta=getattr(self.meta, "has_delta", False))
         from gpupathtracer_tpu.parallel import render_sample_sharded
@@ -235,7 +236,8 @@ class Renderer:
             bounce_traversal=self.bounce_traversal,
             treelet_min=self.cfg.treelet_min,
             packet_size=min(self.packet_size, self.chunk),
-            textured=self.meta.has_textures, sun=self.cfg.sun_enabled,
+            textured=self.meta.has_textures,
+                mips=self.meta.mip_levels > 1, sun=self.cfg.sun_enabled,
             sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
             delta=getattr(self.meta, "has_delta", False))
 
@@ -256,6 +258,7 @@ class Renderer:
                       treelet_min=self.cfg.treelet_min,
                       packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,
+                mips=self.meta.mip_levels > 1,
                       sun=self.cfg.sun_enabled,
                       sun_mode=self.cfg.sun_mode,
                       delta=getattr(self.meta, "has_delta", False))

@@ -25,6 +25,7 @@ def _scene_fingerprint(cfg) -> str:
         ident += f":{st.st_mtime_ns}:{st.st_size}"
     key = (f"v{CACHE_VERSION}|{ident}|leaf{cfg.leaf_size}|ar{cfg.wide_arity}"
            f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}|fl{cfg.force_leaf}"
+           f"|mip{getattr(cfg, 'mip_levels', 1)}"
            f"|{_builder_fingerprint()}")
     return hashlib.sha1(key.encode()).hexdigest()[:20]
 
@@ -45,15 +46,18 @@ def cache_path(cfg) -> str:
 
 
 def save_scene_cache(cfg, soup, table, light_idx, light_cdf, total_area,
-                     wide, stats, atlas_img=None, atlas_rects=None) -> None:
+                     wide, stats, atlas_img=None, atlas_rects=None,
+                     atlas_mips=None) -> None:
     path = cache_path(cfg)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if atlas_img is None:
         atlas_img = np.zeros((4, 4, 3), np.float32)
         atlas_rects = np.asarray([[0, 0, 4, 4]], np.int32)
+    if atlas_mips is None:
+        atlas_mips = np.arange(atlas_rects.shape[0], dtype=np.int32)[:, None]
     np.savez_compressed(
         path,
-        atlas_img=atlas_img, atlas_rects=atlas_rects,
+        atlas_img=atlas_img, atlas_rects=atlas_rects, atlas_mips=atlas_mips,
         p0=soup.p0, e1=soup.e1, e2=soup.e2, normal=soup.normal,
         uv=soup.uv, mat=soup.mat,
         m_albedo=table.albedo, m_rough=table.rough_g, m_metal=table.metallic,

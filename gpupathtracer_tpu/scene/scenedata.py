@@ -57,7 +57,9 @@ class SceneData(NamedTuple):
     total_light_area: jnp.ndarray  # scalar f32 (0 => env-only lighting)
     # Texture atlas (role of bindless textures, Material.glsl:43-44)
     atlas_image: jnp.ndarray   # [AH, AW, 3] f32
-    atlas_rects: jnp.ndarray   # [S, 4] i32 (x, y, w, h)
+    atlas_rects: jnp.ndarray   # [R, 4] i32 (x, y, w, h; R >= S with mips)
+    atlas_mips: jnp.ndarray    # [S, L] i32 texture-slot -> rect row per
+    #                            mip level (L=1 without cfg.mip_levels)
     mat_albedo_tex: jnp.ndarray  # [M] i32 atlas slot, -1 = constant albedo
     mat_mr_tex: jnp.ndarray      # [M] i32 metallic-roughness slot (glTF G=rough, B=metal)
     # Sun disk (Renderer.cpp:23-26; SUN_LIGHT NEE branch Iterative.comp:84-126)
@@ -82,6 +84,7 @@ class SceneMeta:
     leaf_size: int
     has_textures: bool = False
     has_delta: bool = False    # any mirror/refractive materials
+    mip_levels: int = 1        # atlas pyramid depth (1 = level 0 only)
     bvh_stats: Optional[BuildStats] = None
     name: str = ""
 
@@ -115,7 +118,8 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
     """Pack a triangle soup + materials + env into device arrays and build
     the BVH. This is the one funnel every loader goes through."""
     cfg = cfg or RenderConfig()
-    atlas_img, atlas_rects, slots = _build_atlas_for(materials, ".")
+    atlas_img, atlas_rects, slots, atlas_mips = _build_atlas_for(
+        materials, ".", cfg)
     table = pack_materials(materials, atlas_slots=slots)
     idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
     p0, p1, p2 = soup.vertices()
@@ -124,22 +128,26 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
                                  spatial_splits=cfg.spatial_splits,
                                  force_leaf=cfg.force_leaf)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env,
-                   cfg, name, atlas_img, atlas_rects)
+                   cfg, name, atlas_img, atlas_rects, atlas_mips)
 
 
-def _build_atlas_for(materials, base_dir):
+def _build_atlas_for(materials, base_dir, cfg):
     from gpupathtracer_tpu.scene.textures import build_atlas
     paths = sorted({m.albedo_texture for m in materials if m.albedo_texture}
                    | {m.mr_texture for m in materials if m.mr_texture})
-    return build_atlas(paths, base_dir)
+    return build_atlas(paths, base_dir,
+                       mip_levels=getattr(cfg, "mip_levels", 1))
 
 
 def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
-            name: str, atlas_img=None, atlas_rects=None
+            name: str, atlas_img=None, atlas_rects=None, atlas_mips=None
             ) -> Tuple[SceneData, SceneMeta]:
     if atlas_img is None:
         atlas_img = np.zeros((4, 4, 3), np.float32)
         atlas_rects = np.asarray([[0, 0, 4, 4]], np.int32)
+    if atlas_mips is None:  # level-0 identity (old caches / no-mip builds)
+        atlas_mips = np.arange(atlas_rects.shape[0],
+                               dtype=np.int32)[:, None]
     stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
                       cfg.stack_depth * 4)
     if wide.node_rows is None:
@@ -178,6 +186,17 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         shade[:, 0:3] = soup.normal
         shade[:, 3:9] = soup.uv.reshape(T, 6)
         shade[:, 9] = soup.mat.astype(np.int32).view(np.float32)
+        # Col 10: texel density sqrt(uv_area / world_area) — the mip-LOD
+        # input (uv units per world unit; ops/texture.py trilinear path).
+        # Free column, so the mip path adds NO extra hot-loop gather.
+        e1 = soup.e1
+        e2 = soup.e2
+        wa = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        duv1 = soup.uv[:, 1] - soup.uv[:, 0]
+        duv2 = soup.uv[:, 2] - soup.uv[:, 0]
+        ua = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1]
+                          - duv1[:, 1] * duv2[:, 0])
+        shade[:, 10] = np.sqrt(ua / np.maximum(wa, 1e-20))
         shade[:, 16:32] = mrows[soup.mat]
 
     L = int(idx.size)
@@ -207,6 +226,7 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         total_light_area=jnp.float32(total_area),
         atlas_image=jnp.asarray(atlas_img),
         atlas_rects=jnp.asarray(atlas_rects),
+        atlas_mips=jnp.asarray(atlas_mips),
         mat_albedo_tex=jnp.asarray(table.albedo_tex),
         mat_mr_tex=jnp.asarray(table.mr_tex if table.mr_tex is not None
                                else np.full_like(table.albedo_tex, -1)),
@@ -235,6 +255,7 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
                           or (table.mr_tex is not None
                               and (table.mr_tex >= 0).any())),
         has_delta=bool((table.mtype != 1).any()),
+        mip_levels=int(atlas_mips.shape[1]),
         bvh_stats=stats,
         name=name,
     )
@@ -280,7 +301,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
         return _upload(soup, table, cached["light_idx"], cached["light_cdf"],
                        float(cached["total_area"]), wide, stats, env, cfg,
                        name=path, atlas_img=cached.get("atlas_img"),
-                       atlas_rects=cached.get("atlas_rects"))
+                       atlas_rects=cached.get("atlas_rects"),
+                       atlas_mips=cached.get("atlas_mips"))
 
     if path.startswith("proc:"):
         from gpupathtracer_tpu.scene.procedural import load_procedural
@@ -295,7 +317,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
         raise ValueError(f"unsupported scene format: {path!r}")
 
     soup = build_triangle_soup(mesh)
-    atlas_img, atlas_rects, slots = _build_atlas_for(materials, base_dir)
+    atlas_img, atlas_rects, slots, atlas_mips = _build_atlas_for(
+        materials, base_dir, cfg)
     table = pack_materials(materials, atlas_slots=slots)
     idx, cdf, total_area = build_emitter_cdf(soup, table.emissive)
     p0, p1, p2 = soup.vertices()
@@ -305,6 +328,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
                                  force_leaf=cfg.force_leaf)
     if cfg.cache_enabled:
         scache.save_scene_cache(cfg, soup, table, idx, cdf, total_area,
-                                wide, stats, atlas_img, atlas_rects)
+                                wide, stats, atlas_img, atlas_rects,
+                                atlas_mips)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
-                   name=path, atlas_img=atlas_img, atlas_rects=atlas_rects)
+                   name=path, atlas_img=atlas_img, atlas_rects=atlas_rects,
+                   atlas_mips=atlas_mips)

@@ -30,7 +30,7 @@ def test_build_atlas(tmp_path):
     b = np.zeros((16, 4, 3), np.float32); b[:] = [0, 0, 1]
     save_png(str(tmp_path / "a.png"), a)
     save_png(str(tmp_path / "b.png"), b)
-    atlas, rects, slots = build_atlas(["a.png", "b.png", "missing.png"],
+    atlas, rects, slots, _ = build_atlas(["a.png", "b.png", "missing.png"],
                                       str(tmp_path))
     assert set(slots) == {"a.png", "b.png"}
     ax, ay, aw, ah = rects[slots["a.png"]]
