@@ -304,13 +304,14 @@ class Renderer:
             kwargs.pop("treelet_min", None)
             kwargs.pop("compaction", None)
             kwargs.pop("compaction_divs", None)
+            kwargs.pop("mips", None)  # reference samples level 0 only
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
         if integrator == "ao":
             from gpupathtracer_tpu.models.ao import render_sample_ao
-            for k in ("max_bounces", "model", "textured", "sun", "delta",
-                      "sun_mode", "bounce_traversal", "treelet_min",
+            for k in ("max_bounces", "model", "textured", "mips", "sun",
+                      "delta", "sun_mode", "bounce_traversal", "treelet_min",
                       "compaction", "compaction_divs"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
