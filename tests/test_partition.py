@@ -452,3 +452,40 @@ def test_renderer_partition_mode():
     with pytest.raises(ValueError):
         Renderer(_cfg(partition_chips=8, mesh_shape=(2, 4)),
                  scene=r.scene, meta=r.meta)
+
+
+def test_partitioned_trace_ici_contract(bunny):
+    """HLO-level pin of the ICI contract (PERF.md cost model): the
+    partitioned trace moves ray state ONLY via collective-permute (the
+    static ring — uniform per-hop bandwidth), with NO all-reduce /
+    all-gather / all-to-all / reduce-scatter anywhere, so a refactor
+    cannot silently introduce demand-dependent exchanges or film-sized
+    reductions into the traversal."""
+    import re
+
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 8)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    tables, route = shard_partition(part, mesh)
+
+    N = 1024
+    o = jnp.zeros((N, 3), jnp.float32)
+    d = jnp.zeros((N, 3), jnp.float32).at[:, 0].set(1.0)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.ones((N,), bool)
+
+    def fn(tables, route, o, d, tmax, act):
+        return trace_closest_partitioned(
+            mesh, tables, route, o, d, tmax, act,
+            stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+            packet_size=128, interpret=True)
+
+    txt = (jax.jit(fn).lower(tables, route, o, d, tmax, act)
+           .compile().as_text())
+    assert re.search(r"collective-permute", txt), "ring ppermute missing"
+    bad = [ln for ln in txt.splitlines()
+           if re.search(r"all-reduce|all-gather|all-to-all|reduce-scatter",
+                        ln)]
+    assert not bad, f"unexpected collectives in the trace: {bad[:3]}"
