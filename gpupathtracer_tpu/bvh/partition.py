@@ -11,14 +11,22 @@ a few hundred rows — D chips give D-fold smaller resident trees exactly
 where the single-chip kernel collapses.
 
 Partition construction (host, numpy):
-  1. Cut the wide tree into >= D subtree roots by greedy surface area
-     (bvh/treelet.py machinery with target = num_devices).
-  2. Pack the cut entries into exactly D balanced groups (LPT by reachable
-     row count).
-  3. For each group, extract the reachable rows into a compact local table
-     headed by a synthetic root row whose children are the group's cut
-     entries — the unmodified Pallas kernel then traverses the local
-     subtree starting at entry 0, same as any whole-tree table.
+  1. Cut the wide tree into >= D subtree roots balanced by REACHABLE ROW
+     COUNT (_row_cut; the treelet machinery's area-greedy cut can leave
+     one subtree holding half the table).
+  2. Group the cut entries into exactly D groups with a weight-balanced
+     recursive kd split of their centroids ("spatial", the measured
+     default: V = 1.80 vs 5.01 subtree visits per incoherent ray for
+     pure row-count LPT packing — PERF.md partition statistics).
+  3. Replicate the K highest-demand entries (default K=4) into EVERY
+     device's hop-0 root, served exclusively on each ray's home chip; a
+     second steady root without them serves hops >= 1 (measured: pops
+     wall proxy -6% incoherent closest / -43% any-hit at flat total
+     pops).
+  4. For each group, extract the reachable rows into a compact local
+     table headed by the synthetic root rows — the unmodified Pallas
+     kernel then traverses the local forest starting at entry 0 (or the
+     steady root), same as any whole-tree table.
 
 The reference has no counterpart (single GPU); its only scaling axis is
 the dispatch grid (src/core/Renderer.cpp:660). This is the TPU-native
