@@ -258,7 +258,7 @@ def partition_cut(node_rows: np.ndarray, num_wide_nodes: int,
 
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     num_devices: int, grouping: str = "spatial",
-                    replicate_hot: int = 4,
+                    replicate_hot: int = 6,
                     demand_rays=None, hot_entries=None) -> Partition:
     """Split the merged table into `num_devices` compact local tables.
 
@@ -279,10 +279,10 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
     uniformly over all D chips (every chip serves its own resident shard
     at hop 0) and the early-found hit tightens `t` for every later
     hop's route mask — trading VMEM headroom (+K subtree copies/chip)
-    for barrier balance. Default K=4: measured pareto-win on every ray
-    population (PERF.md replicate-hot table: wall proxy -6% incoherent
-    closest, -10% coherent, -43% any-hit; total pops flat; +20%
-    rows/chip).
+    for barrier balance. Default K=6, the measured sweet spot of the
+    K-sweep (PERF.md replicate-hot table: wall proxy -17% incoherent
+    closest / -43% any-hit vs K=0 at flat total pops, +23% rows/chip;
+    K=8 doubles the tables for marginal gain, K=12 regresses).
 
     demand_rays: optional (o, d) numpy arrays — the ray population for
     the demand estimate (hot selection and grouping="demand" weights);
