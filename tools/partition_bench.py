@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--grouping", default="spatial",
                     choices=["spatial", "spatial-area", "demand", "lpt"])
-    ap.add_argument("--replicate-hot", type=int, default=4)
+    ap.add_argument("--replicate-hot", type=int, default=6)
     ap.add_argument("--hot-demand", default="random",
                     choices=["random", "camera", "mixed", "pilot"],
                     help="hot-selection demand estimate: slab-entry "
