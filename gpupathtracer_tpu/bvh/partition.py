@@ -262,6 +262,9 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     demand_rays=None, hot_entries=None) -> Partition:
     """Split the merged table into `num_devices` compact local tables.
 
+    8-wide tables only (the partitioned renderer builds with the default
+    wide_arity; see _entries()/_root_row() layout offsets).
+
     grouping: "spatial" (default; weight-balanced kd split of the cut —
     measured V = 1.80 incoherent closest vs 5.01 for "lpt",
     PERF.md partition statistics) or "lpt" (pure row-count balance);

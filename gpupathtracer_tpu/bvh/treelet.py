@@ -38,7 +38,7 @@ def _half_area(bounds: np.ndarray) -> float:
 
 
 def build_treelet_cut(node_rows: np.ndarray, num_wide_nodes: int,
-                      target: int = 128):
+                      target: int = 128, arity: int = 8):
     """Greedy surface-area cut of the merged table.
 
     Args:
@@ -55,8 +55,8 @@ def build_treelet_cut(node_rows: np.ndarray, num_wide_nodes: int,
     exactly the subtrees the whole-tree traversal would descend into.
     """
     W = int(num_wide_nodes)
-    bounds_all = node_rows[:W, 0:48].reshape(W, 8, 6)
-    entry_all = node_rows[:W, 48:56].copy().view(np.int32)
+    bounds_all = node_rows[:W, 0:6 * arity].reshape(W, arity, 6)
+    entry_all = node_rows[:W, 6 * arity:7 * arity].copy().view(np.int32)
 
     # Frontier of (neg-area, tiebreak, entry, bounds). Root row 0's box is
     # not stored anywhere (the traversal starts inside it); seed with the
@@ -69,7 +69,7 @@ def build_treelet_cut(node_rows: np.ndarray, num_wide_nodes: int,
         heapq.heappush(heap, (-_half_area(bb), tiebreak, int(entry), bb))
         tiebreak += 1
 
-    for j in range(8):
+    for j in range(arity):
         e = int(entry_all[0, j])
         if e != INVALID_ENTRY:
             push(e, bounds_all[0, j])
@@ -80,7 +80,7 @@ def build_treelet_cut(node_rows: np.ndarray, num_wide_nodes: int,
         if e < 0:  # leaf entry: nothing to expand
             done.append((e, bb))
             continue
-        for j in range(8):
+        for j in range(arity):
             c = int(entry_all[e, j])
             if c != INVALID_ENTRY:
                 push(c, bounds_all[e, j])

@@ -28,8 +28,12 @@ def collapse_to_wide(bvh: BinaryBVH, arity: int = 8) -> Tuple[WideBVH, int]:
 
     Returns (wide_bvh, max_wide_depth). Leaf counts must fit in 4 bits
     (builders cap leaves at <= 15 refs).
+
+    arity 16 still fits one 128-lane row (16*6 bounds + 16 entries = 112
+    lanes) and halves internal node count — the pop count the packet
+    kernel is latency-bound on. Supported by the Pallas traversal only.
     """
-    assert 2 <= arity <= 8
+    assert 2 <= arity <= 16
     sa = _half_area(bvh.bmin, bvh.bmax)
     is_leaf = bvh.count > 0
 
@@ -106,6 +110,8 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     assert leaf_size * 12 <= ROW_WIDTH
     W = wide.num_nodes
     entries = wide.child_entry
+    arity = entries.shape[1]
+    assert 7 * arity <= ROW_WIDTH, (arity, ROW_WIDTH)
     is_leaf = (entries != INVALID_ENTRY) & (entries < 0)
 
     # --- leaf rows -------------------------------------------------------
@@ -139,12 +145,12 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
 
     # --- merged table ------------------------------------------------------
     node_rows = np.zeros((W + L, ROW_WIDTH), np.float32)
-    node_rows[:W, 0:48] = wide.child_bounds.reshape(W, 48)
-    node_rows[:W, 48:56] = packet_entry.view(np.float32)
+    node_rows[:W, 0:6 * arity] = wide.child_bounds.reshape(W, 6 * arity)
+    node_rows[:W, 6 * arity:7 * arity] = packet_entry.view(np.float32)
     node_rows[W:] = leaf_rows
 
     from gpupathtracer_tpu.bvh.treelet import build_treelet_cut
-    cut_entry, cut_bounds = build_treelet_cut(node_rows, W)
+    cut_entry, cut_bounds = build_treelet_cut(node_rows, W, arity=arity)
 
     return wide._replace(node_rows=node_rows, packet_entry=packet_entry,
                          cut_entry=cut_entry, cut_bounds=cut_bounds)

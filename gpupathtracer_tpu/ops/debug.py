@@ -67,7 +67,7 @@ def closest_hit_trail(wbvh, tri_geom, o, d, t_max,
         total = incl[:, -1]
         pos = jnp.where(s_hit, sp[:, None] + total[:, None] - incl,
                         stack_depth)
-        for j in range(8):
+        for j in range(centry.shape[-1]):
             stack = stack.at[lane, pos[:, j]].set(s_entry[:, j], mode="drop")
         sp = jnp.where(is_node, jnp.minimum(sp + total, stack_depth), sp)
 

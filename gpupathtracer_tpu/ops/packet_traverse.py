@@ -237,6 +237,7 @@ def closest_hit_packets(wbvh, o, d, t_max, active=None,
     """Packet closest-hit. o, d: [N, 3]; N must divide by packet_size.
     Returns Hit-compatible (t, prim, u, v) flat [N] arrays."""
     n = o.shape[0]
+    assert wbvh.child_entry.shape[1] == 8, "XLA packet path is 8-wide only"
     assert n % packet_size == 0, (n, packet_size)
     P = n // packet_size
     if active is None:
@@ -255,6 +256,7 @@ def any_hit_packets(wbvh, o, d, t_max, active=None,
                     packet_size: int = 128, unroll: int = 1):
     """Packet any-hit: returns occluded [N] bool."""
     n = o.shape[0]
+    assert wbvh.child_entry.shape[1] == 8, "XLA packet path is 8-wide only"
     assert n % packet_size == 0, (n, packet_size)
     P = n // packet_size
     if active is None:

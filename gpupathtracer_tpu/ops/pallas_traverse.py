@@ -43,13 +43,38 @@ VMEM_TABLE_LIMIT = 100 * 1024 * 1024
 
 LANES = 128
 
+# Hand-kept 19-comparator network for 8 keys (the measured round-2 kernel);
+# other arities use Batcher's odd-even mergesort (63 comparators at 16).
+_NET8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+         (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+         (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+         (3, 4)]
+
+
+def _sort_net(n: int):
+    """Compare-exchange pairs sorting n keys (n a power of 2)."""
+    if n == 8:
+        return _NET8
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (p * 2) == (i + j + k) // (p * 2):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
 
 def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             rows_ref,
             t_out, prim_out, u_out, v_out, stats_out,
             stack, sp_ref, rowbuf, sem,
             *, stack_depth: int, leaf_size: int, any_hit: bool,
-            table_in_vmem: bool, ordered: bool):
+            table_in_vmem: bool, ordered: bool, arity: int = 8):
     """One packet per grid step.
 
     root_ref: SMEM (P,) initial stack entry per packet (0 = whole-tree
@@ -138,7 +163,7 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             oi = [o[a] * inv[a] for a in range(3)]
             hits = []
             tmins = []
-            for j in range(8):
+            for j in range(arity):
                 tmin = None
                 tmax_ = None
                 for a in range(3):
@@ -154,18 +179,18 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                             & (tmin < t_cur) & on)
                 tmins.append(tmin)
             if not ordered:
-                # ONE vector->scalar sync: 8-bit packed any-hit mask. (Keep
-                # intermediates rank >= 2 — rank-1 vectors crash Mosaic.)
-                h8 = jnp.stack(hits).astype(jnp.int32)      # [8, G, 128]
+                # ONE vector->scalar sync: arity-bit packed any-hit mask.
+                # (Keep intermediates rank >= 2 — rank-1 crashes Mosaic.)
+                h8 = jnp.stack(hits).astype(jnp.int32)      # [A, G, 128]
                 cnt = jnp.sum(jnp.sum(h8, axis=2), axis=1,
-                              keepdims=True)                # [8, 1]
+                              keepdims=True)                # [A, 1]
                 w = jnp.left_shift(1, jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 1), 0))
+                    jnp.int32, (arity, 1), 0))
                 bits = jnp.sum(jnp.where(cnt > 0, w, 0))    # scalar
                 # Scalar push loop (entries from the int row view).
                 new_sp = sp
-                for j in range(8):
-                    centry = row_i[0, 48 + j]
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
                     pushed = (jax.lax.shift_right_logical(bits, j) & 1 > 0) \
                         & (centry != _INVALID)
                     idx = jnp.minimum(new_sp, stack_depth - 1)
@@ -177,23 +202,19 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 # (inf when no ray hits), children pushed far-to-near so the
                 # nearest pops first — t_cur shrinks sooner and prunes more
                 # (role of the ordered descent in BVH.glsl:700-726).
-                h8 = jnp.stack(hits)                        # [8, G, 128]
+                h8 = jnp.stack(hits)                        # [A, G, 128]
                 t8 = jnp.stack(tmins)
                 keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
-                               axis=1, keepdims=True)       # [8, 1]
-                keys = [keyv[j, 0] for j in range(8)]       # 8 extracts
+                               axis=1, keepdims=True)       # [A, 1]
+                keys = [keyv[j, 0] for j in range(arity)]   # A extracts
                 pairs = []
-                for j in range(8):
-                    centry = row_i[0, 48 + j]
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
                     k = jnp.where(centry == _INVALID, jnp.inf, keys[j])
                     pairs.append((k, centry))
                 # Batcher-style fixed network, DESCENDING by key (nearest
-                # pushed last = popped first). 19 compare-exchanges.
-                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
-                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
-                       (3, 4)]
-                for a, b in net:
+                # pushed last = popped first).
+                for a, b in _sort_net(arity):
                     ka, ea = pairs[a]
                     kb, eb = pairs[b]
                     swap = ka < kb  # descending
@@ -273,7 +294,8 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                   t_out, prim_out, u_out, v_out, stats_out,
                   stack, sp_ref, rowbuf, sem,
                   *, stack_depth: int, leaf_size: int, any_hit: bool,
-                  table_in_vmem: bool, ordered: bool, multi_pop: int):
+                  table_in_vmem: bool, ordered: bool, multi_pop: int,
+                  arity: int = 8):
     """Q-pop variant of _kernel: each iteration pops up to Q = multi_pop
     entries from the SAME shared stack and overlaps their latency chains.
 
@@ -378,7 +400,7 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 
             on = rays_on & is_node
             hits, tmins = [], []
-            for j in range(8):
+            for j in range(arity):
                 tmin = None
                 tmax_ = None
                 for a in range(3):
@@ -397,25 +419,21 @@ def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             h8 = jnp.stack(hits)
             t8 = jnp.stack(tmins)
             keyvs.append(jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
-                                 axis=1, keepdims=True))  # [8, 1]
+                                 axis=1, keepdims=True))  # [A, 1]
 
         # ---- scalar pushes per pop (overlaps later pops' vector work) ----
         new_sp = sps
         for q, (is_node, is_leaf, packed, ridx) in enumerate(metas):
             row_i, _ = views[q]
             keyv = keyvs[q]
-            keys = [keyv[j, 0] for j in range(8)]
+            keys = [keyv[j, 0] for j in range(arity)]
             pairs = []
-            for j in range(8):
-                centry = row_i[0, 48 + j]
+            for j in range(arity):
+                centry = row_i[0, 6 * arity + j]
                 k = jnp.where(centry == _INVALID, jnp.inf, keys[j])
                 pairs.append((k, centry))
             if ordered:
-                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
-                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
-                       (3, 4)]
-                for a, b in net:
+                for a, b in _sort_net(arity):
                     ka, ea = pairs[a]
                     kb, eb = pairs[b]
                     swap = ka < kb  # descending: nearest pushed last
@@ -501,7 +519,8 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 t_out, prim_out, u_out, v_out, stats_out,
                 stack, sp_ref, kbuf, rowbuf, sem,
                 *, stack_depth: int, leaf_size: int, any_hit: bool,
-                table_in_vmem: bool, ordered: bool, interleave: int):
+                table_in_vmem: bool, ordered: bool, interleave: int,
+                arity: int = 8):
     """W = interleave independent FULL-SIZE packets co-scheduled per grid
     step, one branched pop each per iteration.
 
@@ -609,7 +628,7 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 t_cur = t_out[w]
                 oi = [o[a] * inv[a] for a in range(3)]
                 hits, tmins = [], []
-                for j in range(8):
+                for j in range(arity):
                     tmin = None
                     tmax_ = None
                     for a in range(3):
@@ -626,11 +645,11 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     hits.append((tmin <= tmax_) & (tmax_ > 0.0)
                                 & (tmin < t_cur) & on)
                     tmins.append(tmin)
-                h8 = jnp.stack(hits)                       # [8, G, 128]
+                h8 = jnp.stack(hits)                       # [A, G, 128]
                 t8 = jnp.stack(tmins)
                 keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
-                               axis=1, keepdims=True)      # [8, 1]
-                kbuf[pl.ds(w * 8, 8), :] = keyv
+                               axis=1, keepdims=True)      # [A, 1]
+                kbuf[pl.ds(w * arity, arity), :] = keyv
 
             @pl.when(leafs[w])
             def _(w=w, bv=bv, row_i=row_i, packed=packeds[w]):
@@ -682,17 +701,13 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             @pl.when(haves[w] & jnp.logical_not(leafs[w]))
             def _(w=w, row_i=row_i):
                 pairs = []
-                for j in range(8):
-                    centry = row_i[0, 48 + j]
-                    k = kbuf[w * 8 + j, 0]
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
+                    k = kbuf[w * arity + j, 0]
                     k = jnp.where(centry == _INVALID, jnp.inf, k)
                     pairs.append((k, centry))
                 if ordered:
-                    net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                           (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
-                           (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
-                           (3, 4)]
-                    for a, b in net:
+                    for a, b in _sort_net(arity):
                         ka, ea = pairs[a]
                         kb, eb = pairs[b]
                         swap = ka < kb  # descending: nearest pushed last
@@ -729,12 +744,14 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
                                              "with_stats", "ordered",
-                                             "multi_pop", "interleave"))
+                                             "multi_pop", "interleave",
+                                             "arity"))
 def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True,
-                    multi_pop: int = 1, interleave: int = 1):
+                    multi_pop: int = 1, interleave: int = 1,
+                    arity: int = 8):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
@@ -765,20 +782,21 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
                              leaf_size=leaf_size, any_hit=any_hit,
                              interpret=interpret, with_stats=with_stats,
                              ordered=ordered, interleave=interleave,
-                             table_in_vmem=table_in_vmem)
+                             table_in_vmem=table_in_vmem, arity=arity)
     if multi_pop > 1:
         # Q-pop expands up to Q subtrees at once: the single-pop DFS depth
-        # bound (7 entries/level) scales by the lookahead width.
+        # bound (arity-1 entries/level) scales by the lookahead width.
         stack_depth = stack_depth * multi_pop
         kernel = functools.partial(_kernel_multi, stack_depth=stack_depth,
                                    leaf_size=leaf_size, any_hit=any_hit,
                                    table_in_vmem=table_in_vmem,
-                                   ordered=ordered, multi_pop=multi_pop)
+                                   ordered=ordered, multi_pop=multi_pop,
+                                   arity=arity)
     else:
         kernel = functools.partial(_kernel, stack_depth=stack_depth,
                                    leaf_size=leaf_size, any_hit=any_hit,
                                    table_in_vmem=table_in_vmem,
-                                   ordered=ordered)
+                                   ordered=ordered, arity=arity)
     grid = (P,)
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -845,7 +863,8 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
 
 def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
                   P, K, G, stack_depth, leaf_size, any_hit, interpret,
-                  with_stats, ordered, interleave, table_in_vmem):
+                  with_stats, ordered, interleave, table_in_vmem,
+                  arity: int = 8):
     """pallas_call plumbing for the interleaved W-packet kernel."""
     W = interleave
     if P % W != 0:
@@ -853,7 +872,7 @@ def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
     kernel = functools.partial(_kernel_ilv, stack_depth=stack_depth,
                                leaf_size=leaf_size, any_hit=any_hit,
                                table_in_vmem=table_in_vmem,
-                               ordered=ordered, interleave=W)
+                               ordered=ordered, interleave=W, arity=arity)
     grid = (P // W,)
     ray_spec = pl.BlockSpec((W, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -893,7 +912,7 @@ def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((W, stack_depth), jnp.int32),
                         pltpu.SMEM((W,), jnp.int32),
-                        pltpu.VMEM((8 * W, 1), jnp.float32),
+                        pltpu.VMEM((arity * W, 1), jnp.float32),
                         pltpu.VMEM((max(2, W), LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((max(2, W),))]
                    + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),

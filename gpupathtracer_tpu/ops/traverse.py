@@ -125,7 +125,7 @@ def _traverse(child_bounds, child_entry, refs, tri_geom,
         # Nearest child must end up on top: position = sp + total - incl_j.
         pos = sp[:, None] + total[:, None] - incl
         pos = jnp.where(s_hit, pos, stack_depth)  # out-of-range -> dropped
-        for j in range(8):
+        for j in range(child_entry.shape[-1]):
             stack = stack.at[lane, pos[:, j]].set(s_entry[:, j], mode="drop")
         sp = jnp.where(is_node, jnp.minimum(sp + total, stack_depth), sp)
 
@@ -246,6 +246,7 @@ def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
     t, prim, u, v = traverse_pallas(
         scene.bvh.node_rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
         t_max.reshape(P, K), active.reshape(P, K),
+        arity=scene.bvh.child_entry.shape[1],
         stack_depth=stack_depth, leaf_size=leaf_size,
         # Occlusion queries skip the near-first sort network: the packed-
         # bits push is ~3x cheaper per pop and ordering buys any-hit
@@ -282,6 +283,13 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                            packet_size=packet_size, any_hit_mode=False,
                            interleave=interleave)
     if traversal == "packet":
+        if scene.bvh.child_entry.shape[1] != 8:
+            # The XLA packet kernel is 8-wide only; per-lane is
+            # arity-agnostic (non-default arities are a Pallas-path
+            # experiment, PERF.md session 8).
+            return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max,
+                               active, stack_depth=stack_depth,
+                               leaf_size=leaf_size)
         from gpupathtracer_tpu.ops.packet_traverse import closest_hit_packets
         ps = min(packet_size, o.shape[0])
         o, d, t_max, active, n = _pad_rays(o, d, t_max, active, ps)
@@ -318,6 +326,9 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                           interleave=interleave)
         return hit.prim >= 0
     if traversal == "packet":
+        if scene.bvh.child_entry.shape[1] != 8:
+            return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
+                           stack_depth=stack_depth, leaf_size=leaf_size)
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets
         ps = min(packet_size, o.shape[0])
         o, d, t_max, active, n = _pad_rays(o, d, t_max, active, ps)

@@ -46,11 +46,11 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.jit, static_argnames=("stack_depth", "leaf_size", "any_hit",
                                    "packet_size", "cap", "max_rounds",
-                                   "fanout", "interpret"))
+                                   "fanout", "interpret", "arity"))
 def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
                    *, stack_depth: int, leaf_size: int, any_hit: bool,
                    packet_size: int, cap: int, max_rounds: int,
-                   fanout: int, interpret: bool):
+                   fanout: int, interpret: bool, arity: int = 8):
     from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
 
     N = o.shape[0]
@@ -115,7 +115,7 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
             rows, so.reshape(S // K, K, 3), sd.reshape(S // K, K, 3),
             st.reshape(S // K, K), sact.reshape(S // K, K), roots=roots,
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
-            interpret=interpret)
+            arity=arity, interpret=interpret)
         tt, pp = tt.reshape(S), pp.reshape(S)
         uu, vv = uu.reshape(S), vv.reshape(S)
 
@@ -178,7 +178,7 @@ def _treelet_trace(rows, cut_entry, cut_bounds, o, d, t_max, active,
         (tm_p if any_hit else t_p).reshape(NP // K, K),
         left_p.reshape(NP // K, K),
         stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
-        interpret=interpret)
+        arity=arity, interpret=interpret)
     ft, fp = ft.reshape(NP)[:N], fp.reshape(NP)[:N]
     fu, fv = fu.reshape(NP)[:N], fv.reshape(NP)[:N]
     if any_hit:
@@ -212,7 +212,8 @@ def trace_closest_treelet(scene, o, d, t_max, active, *, stack_depth: int,
         scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
         o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
         any_hit=False, packet_size=packet_size, cap=cap,
-        max_rounds=max_rounds, fanout=fanout, interpret=interpret)
+        max_rounds=max_rounds, fanout=fanout, interpret=interpret,
+        arity=scene.bvh.child_entry.shape[1])
     return Hit(t=t, prim=prim, u=u, v=v)
 
 
@@ -229,5 +230,6 @@ def trace_occluded_treelet(scene, o, d, t_max, active, *, stack_depth: int,
         scene.bvh.node_rows, scene.bvh.cut_entry, scene.bvh.cut_bounds,
         o, d, t_max, active, stack_depth=stack_depth, leaf_size=leaf_size,
         any_hit=True, packet_size=packet_size, cap=cap,
-        max_rounds=max_rounds, fanout=fanout, interpret=interpret)
+        max_rounds=max_rounds, fanout=fanout, interpret=interpret,
+        arity=scene.bvh.child_entry.shape[1])
     return occ

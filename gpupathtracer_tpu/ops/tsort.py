@@ -67,21 +67,22 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2",
         if key_mode == "deep":
             ce = bvh.cut_entry[t1_]                 # [N] treelet root entry
             node = jnp.where(ce >= 0, ce, 0)
-            cb = bvh.child_bounds[node]             # [N, 8, 6] row gather
+            cb = bvh.child_bounds[node]             # [N, A, 6] row gather
+            A = cb.shape[1]
             ct0 = (cb[..., 0:3] - o[:, None, :]) * inv[:, None, :]
             ct1 = (cb[..., 3:6] - o[:, None, :]) * inv[:, None, :]
-            stn = jnp.max(jnp.minimum(ct0, ct1), axis=-1)   # [N, 8]
+            stn = jnp.max(jnp.minimum(ct0, ct1), axis=-1)   # [N, A]
             stf = jnp.min(jnp.maximum(ct0, ct1), axis=-1)
             shit = (stn <= stf) & (stf > 0.0) & (stn < t_max[:, None])
             sk = jnp.where(shit, stn, jnp.inf)
             sub = jnp.argmin(sk, axis=1).astype(jnp.int32)
-            # Leaf-entry treelets have no children: one group (sub = 8).
+            # Leaf-entry treelets have no children: one group (sub = A).
             sub = jnp.where((ce >= 0) & jnp.isfinite(jnp.min(sk, axis=1)),
-                            sub, 8)
-            prim_key = t1_ * 9 + sub
+                            sub, A)
+            prim_key = t1_ * (A + 1) + sub
             skey = jnp.where(active & has1,
                              prim_key * (C + 1) + sec,
-                             9 * C * (C + 1) + C)
+                             (A + 1) * C * (C + 1) + C)
         else:
             skey = jnp.where(active & has1,
                              t1_ * (C + 1) + sec,
@@ -139,7 +140,10 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
         a_s = jnp.concatenate([a_s, jnp.zeros((pad,), bool)])
     NP = n + pad
     P = NP // K
+    arity = scene.bvh.child_entry.shape[1]
     if kernel == "subpacket":
+        if arity != 8:
+            raise ValueError("sub-packet kernel supports arity 8 only")
         t, prim, u, v = traverse_subpacket(
             scene.bvh.node_rows, o_s.reshape(P, K, 3), d_s.reshape(P, K, 3),
             t_s.reshape(P, K), a_s.reshape(P, K),
@@ -148,7 +152,7 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
     else:
         t, prim, u, v = traverse_pallas(
             scene.bvh.node_rows, o_s.reshape(P, K, 3), d_s.reshape(P, K, 3),
-            t_s.reshape(P, K), a_s.reshape(P, K),
+            t_s.reshape(P, K), a_s.reshape(P, K), arity=arity,
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
             ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
             interleave=interleave, interpret=interpret)

@@ -101,3 +101,73 @@ def test_pallas_multi_pop_matches():
         stack_depth=depth, interpret=True, multi_pop=2, any_hit=True)
     occ = (np.asarray(prim2).reshape(N) >= 0) & np.asarray(act)
     np.testing.assert_array_equal(occ, np.asarray(occ_ref))
+
+
+def _soup(seed, n=400):
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(-5, 5, (n, 1, 3))
+    offs = rng.uniform(-0.6, 0.6, (n, 3, 3))
+    tri = (base + offs).astype(np.float32)
+    return tri[:, 0], tri[:, 1], tri[:, 2], rng
+
+
+def test_pallas_arity16_matches_perray():
+    """16-wide rows (16*6 bounds + 16 entries = 112 of 128 lanes): the
+    kernel's arity parameterization must reproduce per-lane results for
+    ordered closest-hit AND unordered any-hit."""
+    p0, p1, p2, rng = _soup(13)
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4, builder="numpy",
+                                 arity=16)
+    assert wide.child_entry.shape[1] == 16
+    wide = pack_for_packets(wide, p0, p1 - p0, p2 - p0, 4)
+    rows = jnp.asarray(wide.node_rows)
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    dev = WideBVH(*((jnp.asarray(a) if a is not None else None)
+                    for a in wide))
+    depth = stats.max_depth * 15 + 2
+
+    K, P = 128, 3
+    N = P * K
+    o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+
+    ref = closest_hit(dev, geom, o, d, tmax, stack_depth=depth)
+    t, prim, u, v = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        tmax.reshape(P, K), jnp.ones((P, K), bool),
+        stack_depth=depth, arity=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(t).reshape(N), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prim).reshape(N) < 0,
+                                  np.asarray(ref.prim) < 0)
+
+    # Unordered packed-bits any-hit phase at arity 16.
+    from gpupathtracer_tpu.ops.traverse import any_hit
+    near = jnp.full((N,), 6.0, jnp.float32)
+    occ_ref = any_hit(dev, geom, o, d, near, stack_depth=depth)
+    _, prim2, _, _ = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        near.reshape(P, K), jnp.ones((P, K), bool),
+        stack_depth=depth, arity=16, any_hit=True, ordered=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(prim2).reshape(N) >= 0,
+                                  np.asarray(occ_ref))
+
+
+def test_sort_net_batcher():
+    """The generated compare-exchange networks sort (0/1 principle)."""
+    import itertools
+
+    from gpupathtracer_tpu.ops.pallas_traverse import _sort_net
+    for n in (4, 8, 16):
+        net = _sort_net(n)
+        for bits in itertools.product([0, 1], repeat=n):
+            a = list(bits)
+            for i, j in net:
+                if a[i] > a[j]:
+                    a[i], a[j] = a[j], a[i]
+            assert a == sorted(a), (n, bits)

@@ -86,6 +86,9 @@ def main() -> None:
                          "(packet mode); comma-separated list to sweep")
     ap.add_argument("--leaf", type=int, default=0,
                     help="override builder leaf_size (0 = config default)")
+    ap.add_argument("--arity", type=int, default=8,
+                    help="wide-BVH branching factor (8 default; 16 packs "
+                         "16 children per 128-lane row — Pallas path only)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,7 @@ def main() -> None:
 
     cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
                        width=64, height=64, cache_enabled=True)
+    cfg.wide_arity = args.arity
     if args.leaf:
         cfg.leaf_size = args.leaf
     scene, meta = load_scene(cfg)
@@ -178,6 +182,9 @@ def main() -> None:
             tfn = (traverse_subpacket if mode == "subpacket"
                    else traverse_pallas)
 
+            if mode == "subpacket" and args.arity != 8:
+                raise SystemExit("subpacket kernel supports arity 8 only")
+
             def run(o, d, K, with_stats=False, ilv=1, ordered=None):
                 P = N // K
                 return tfn(rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
@@ -186,6 +193,8 @@ def main() -> None:
                            stack_depth=meta.stack_depth,
                            leaf_size=meta.leaf_size,
                            any_hit=args.any_hit,
+                           **({"arity": args.arity} if mode != "subpacket"
+                              else {}),
                            ordered=bool(ord_list[0] if ordered is None
                                         else ordered),
                            **({"multi_pop": args.multi_pop,
