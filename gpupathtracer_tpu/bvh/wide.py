@@ -105,9 +105,15 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
 
     Rows are 128 f32 wide: the TPU lane width, so a Pallas kernel can
     dynamic-slice one row from a VMEM-resident table (Mosaic requires
-    lane-aligned slices), and leaves can pack up to 10 triangles.
+    lane-aligned slices). One row packs 10 triangles; leaf_size > 10
+    spans ceil(leaf_size/10) CONSECUTIVE rows per leaf (entries encode
+    the block's first row), fetched as one wider dynamic slice — leaf
+    pops are ~46% of incoherent closest pops (PERF.md session 8), so
+    fatter leaves trade ~free VPU work for pop count.
     """
-    assert leaf_size * 12 <= ROW_WIDTH
+    tris_per_row = ROW_WIDTH // 12                  # 10
+    R = -(-leaf_size // tris_per_row)               # rows per leaf block
+    assert leaf_size <= 15, "leaf count is 4-bit packed"
     W = wide.num_nodes
     entries = wide.child_entry
     arity = entries.shape[1]
@@ -122,29 +128,32 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     if np.any(count > leaf_size):
         raise ValueError(f"leaf count {count.max()} exceeds leaf_size {leaf_size}")
     L = max(len(first), 1)
-    leaf_rows = np.zeros((L, ROW_WIDTH), np.float32)
+    leaf_rows = np.zeros((L * R, ROW_WIDTH), np.float32)
     refs = wide.refs
+    rows_of = np.arange(len(first), dtype=np.int64) * R
     for k in range(leaf_size):
         have = k < count
         ridx = np.where(have, first + k, 0)
         tri = refs[np.clip(ridx, 0, len(refs) - 1)]
-        base = k * 12
-        leaf_rows[:len(first), base:base + 3] = np.where(
+        r, base = divmod(k, tris_per_row)
+        base *= 12
+        rows = rows_of + r
+        leaf_rows[rows, base:base + 3] = np.where(
             have[:, None], tri_p0[tri], 0.0)
-        leaf_rows[:len(first), base + 3:base + 6] = np.where(
+        leaf_rows[rows, base + 3:base + 6] = np.where(
             have[:, None], tri_e1[tri], 0.0)  # degenerate (0 edges) never hits
-        leaf_rows[:len(first), base + 6:base + 9] = np.where(
+        leaf_rows[rows, base + 6:base + 9] = np.where(
             have[:, None], tri_e2[tri], 0.0)
-        leaf_rows[:len(first), base + 9] = np.where(
+        leaf_rows[rows, base + 9] = np.where(
             have, tri.astype(np.int32), -1).astype(np.int32).view(np.float32)
 
     # --- entries referencing merged rows ---------------------------------
     packet_entry = entries.copy()
-    merged_row_idx = W + np.arange(len(first), dtype=np.int64)
+    merged_row_idx = W + rows_of
     packet_entry[leaf_pos] = (-((merged_row_idx << 4) | count) - 1).astype(np.int32)
 
     # --- merged table ------------------------------------------------------
-    node_rows = np.zeros((W + L, ROW_WIDTH), np.float32)
+    node_rows = np.zeros((W + L * R, ROW_WIDTH), np.float32)
     node_rows[:W, 0:6 * arity] = wide.child_bounds.reshape(W, 6 * arity)
     node_rows[:W, 6 * arity:7 * arity] = packet_entry.view(np.float32)
     node_rows[W:] = leaf_rows

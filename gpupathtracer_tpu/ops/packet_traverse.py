@@ -238,6 +238,7 @@ def closest_hit_packets(wbvh, o, d, t_max, active=None,
     Returns Hit-compatible (t, prim, u, v) flat [N] arrays."""
     n = o.shape[0]
     assert wbvh.child_entry.shape[1] == 8, "XLA packet path is 8-wide only"
+    assert leaf_size <= 10, "XLA packet path reads single-row leaves only"
     assert n % packet_size == 0, (n, packet_size)
     P = n // packet_size
     if active is None:
@@ -257,6 +258,7 @@ def any_hit_packets(wbvh, o, d, t_max, active=None,
     """Packet any-hit: returns occluded [N] bool."""
     n = o.shape[0]
     assert wbvh.child_entry.shape[1] == 8, "XLA packet path is 8-wide only"
+    assert leaf_size <= 10, "XLA packet path reads single-row leaves only"
     assert n % packet_size == 0, (n, packet_size)
     P = n // packet_size
     if active is None:

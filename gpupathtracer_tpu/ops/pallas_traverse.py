@@ -85,6 +85,8 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     sp_ref: SMEM (1,), rowbuf: VMEM (2, 128), sem: DMA (2,).
     """
     G = o_ref.shape[1]
+    tris_per_row = LANES // 12
+    R = -(-leaf_size // tris_per_row)  # rows per leaf block (>1: fat leaves)
 
     t_out[...] = tmax_ref[...]
     prim_out[...] = jnp.full((G, LANES), -1, jnp.int32)
@@ -101,8 +103,10 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                   & (root != _INVALID))
 
     def fetch(slot, ridx):
-        return pltpu.make_async_copy(rows_ref.at[pl.ds(ridx, 1)],
-                                     rowbuf.at[pl.ds(slot, 1)],
+        # R-row blocks never read out of bounds: nodes precede the
+        # R-aligned leaf region, which holds >= R rows.
+        return pltpu.make_async_copy(rows_ref.at[pl.ds(ridx, R)],
+                                     rowbuf.at[pl.ds(slot * R, R)],
                                      sem.at[slot])
 
     def body(carry):
@@ -114,12 +118,13 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
         ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
 
         if table_in_vmem:
-            row = rows_ref[pl.ds(ridx, 1), :]    # [1, 128]
+            rowR = rows_ref[pl.ds(ridx, R), :]   # [R, 128]
         else:
             cp = fetch(slot, ridx)
             cp.start()
             cp.wait()
-            row = rowbuf[pl.ds(slot, 1), :]      # [1, 128]
+            rowR = rowbuf[pl.ds(slot * R, R), :]
+        row = rowR[0:1] if R > 1 else rowR       # [1, 128]
         # One vector-wide bitcast (Mosaic rejects scalar bitcasts); integer
         # fields (child entries, prim ids) are read from this view.
         row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
@@ -240,12 +245,22 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
             prim_c = prim_out[...]
             u_c = u_out[...]
             v_c = v_out[...]
+            # Sublane-replicated views of the block's extra rows (row 0
+            # reuses the shared node-phase broadcast).
+            rowGs, rowGis = [rowG], [rowGi]
+            for r in range(1, R):
+                rr = rowR[r:r + 1]
+                rri = jax.lax.bitcast_convert_type(rr, jnp.int32)
+                rowGs.append(pltpu.repeat(rr, G, axis=0) if G > 1 else rr)
+                rowGis.append(pltpu.repeat(rri, G, axis=0) if G > 1 else rri)
             for k in range(leaf_size):
-                b = k * 12
-                p0 = [bv(b + a) for a in range(3)]
-                e1 = [bv(b + 3 + a) for a in range(3)]
-                e2 = [bv(b + 6 + a) for a in range(3)]
-                pid = bvi(b + 9)
+                r, b = divmod(k, tris_per_row)
+                b *= 12
+                rG, rGi = rowGs[r], rowGis[r]
+                p0 = [rG[:, b + a:b + a + 1] for a in range(3)]
+                e1 = [rG[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                e2 = [rG[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                pid = rGi[:, b + 9:b + 10]
                 # Moller-Trumbore: scalar triangle vs [G, 128] rays.
                 px = d[1] * e2[2] - d[2] * e2[1]
                 py = d[2] * e2[0] - d[0] * e2[2]
@@ -776,6 +791,10 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     invT = jnp.where(dT >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dT), eps)
 
     table_in_vmem = rows.size * rows.dtype.itemsize <= VMEM_TABLE_LIMIT
+    leaf_block_rows = -(-leaf_size // (LANES // 12))
+    if leaf_block_rows > 1 and (multi_pop > 1 or interleave > 1):
+        raise ValueError("multi-row leaves (leaf_size > 10) are supported "
+                         "by the single-pop kernel only")
     if interleave > 1:
         return _traverse_ilv(rows, oT, dT, invT, t_max, active, roots,
                              P=P, K=K, G=G, stack_depth=stack_depth,
@@ -837,7 +856,8 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
-                        pltpu.VMEM((max(2, multi_pop), LANES), jnp.float32),
+                        pltpu.VMEM((max(2, multi_pop) * leaf_block_rows,
+                                    LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((max(2, multi_pop),))]
                    + ([pltpu.SMEM((3,), jnp.int32)] if with_stats else []),
         # The table blows the default 16 MB scoped-VMEM budget; size the

@@ -349,6 +349,8 @@ def traverse_subpacket(rows, o, d, t_max, active,
     P, K, _ = o.shape
     if K % LANES != 0:
         raise ValueError(f"packet size K={K} must be a multiple of {LANES}")
+    if leaf_size > 10:
+        raise ValueError("sub-packet kernel reads single-row leaves only")
     G = K // LANES
     if rows.size * rows.dtype.itemsize > VMEM_TABLE_LIMIT:
         raise ValueError("sub-packet kernel requires the node table in "

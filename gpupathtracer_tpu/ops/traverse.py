@@ -283,10 +283,10 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                            packet_size=packet_size, any_hit_mode=False,
                            interleave=interleave)
     if traversal == "packet":
-        if scene.bvh.child_entry.shape[1] != 8:
-            # The XLA packet kernel is 8-wide only; per-lane is
-            # arity-agnostic (non-default arities are a Pallas-path
-            # experiment, PERF.md session 8).
+        if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:
+            # The XLA packet kernel is 8-wide, single-row-leaf only;
+            # per-lane is layout-agnostic (non-default arity/leaf sizes
+            # are Pallas-path experiments, PERF.md session 8).
             return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max,
                                active, stack_depth=stack_depth,
                                leaf_size=leaf_size)
@@ -326,7 +326,7 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                           interleave=interleave)
         return hit.prim >= 0
     if traversal == "packet":
-        if scene.bvh.child_entry.shape[1] != 8:
+        if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:
             return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                            stack_depth=stack_depth, leaf_size=leaf_size)
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets

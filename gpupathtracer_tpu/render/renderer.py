@@ -82,9 +82,10 @@ class Renderer:
                                   axis_names=("samples", "chips"))
             else:
                 self.mesh = _Mesh(arr.reshape(C), axis_names=("chips",))
-            if scene.bvh.child_entry.shape[1] != 8:
-                raise ValueError("partition_chips requires wide_arity=8 "
-                                 "(the partition builder parses 8-wide rows)")
+            if scene.bvh.child_entry.shape[1] != 8 or cfg.leaf_size > 10:
+                raise ValueError("partition_chips requires wide_arity=8 and "
+                                 "leaf_size <= 10 (the partition builder "
+                                 "parses 8-wide single-row-leaf tables)")
             part = build_partition(np.asarray(scene.bvh.node_rows),
                                    scene.bvh.child_bounds.shape[0], C)
             self.partition = shard_partition(part, self.mesh)

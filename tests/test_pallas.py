@@ -171,3 +171,52 @@ def test_sort_net_batcher():
                 if a[i] > a[j]:
                     a[i], a[j] = a[j], a[i]
             assert a == sorted(a), (n, bits)
+
+
+def test_pallas_multirow_leaf15_matches_perray():
+    """leaf_size 15 spans two 128-lane rows per leaf block; the kernel's
+    R-row fetch + per-row sublane broadcast must reproduce per-lane
+    results (closest ordered + any-hit unordered)."""
+    p0, p1, p2, rng = _soup(21, n=600)
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=15, builder="numpy",
+                                 force_leaf=True)
+    wide = pack_for_packets(wide, p0, p1 - p0, p2 - p0, 15)
+    W = wide.child_entry.shape[0]
+    assert (wide.node_rows.shape[0] - W) % 2 == 0  # two rows per leaf
+    rows = jnp.asarray(wide.node_rows)
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    dev = WideBVH(*((jnp.asarray(a) if a is not None else None)
+                    for a in wide))
+    depth = stats.max_depth * 7 + 2
+
+    K, P = 128, 3
+    N = P * K
+    o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+
+    ref = closest_hit(dev, geom, o, d, tmax, stack_depth=depth,
+                      leaf_size=15)
+    t, prim, u, v = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        tmax.reshape(P, K), jnp.ones((P, K), bool),
+        stack_depth=depth, leaf_size=15, interpret=True)
+    np.testing.assert_allclose(np.asarray(t).reshape(N), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(prim).reshape(N),
+                                  np.asarray(ref.prim))
+
+    from gpupathtracer_tpu.ops.traverse import any_hit
+    near = jnp.full((N,), 6.0, jnp.float32)
+    occ_ref = any_hit(dev, geom, o, d, near, stack_depth=depth,
+                      leaf_size=15)
+    _, prim2, _, _ = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        near.reshape(P, K), jnp.ones((P, K), bool),
+        stack_depth=depth, leaf_size=15, any_hit=True, ordered=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(prim2).reshape(N) >= 0,
+                                  np.asarray(occ_ref))

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Same-session A/B: wide-BVH arity 8 vs 16 for the Pallas packet kernel.
+"""Same-session A/B over merged-table LAYOUT variants (arity x leaf size).
 
 A 16-wide node still fits one 128-lane row (16*6 bounds + 16 entries =
 112 lanes), halving INTERNAL node count. The pop is latency-bound with
@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 19)
     ap.add_argument("--k", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--arities", default="8,16")
+    ap.add_argument("--variants", default="8x10,8x15",
+                    help="comma list of <arity>x<leaf_size> table layouts")
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
@@ -63,20 +64,26 @@ def main():
 
     enable_compile_cache()
     N, K = args.n, args.k
+    variants = []
+    for v in args.variants.split(","):
+        a, _, l = v.partition("x")
+        variants.append((int(a), int(l) if l else 10))
     scenes = {}
-    for arity in [int(a) for a in args.arities.split(",")]:
+    for var in variants:
+        arity, leaf = var
         cfg = RenderConfig(scene_path=args.scene,
                            skybox="GENERATE COLOR BLACK",
                            width=64, height=64, cache_enabled=True)
         cfg.wide_arity = arity
+        cfg.leaf_size = leaf
         scene, meta = load_scene(cfg)
         rows = scene.bvh.node_rows
         W = scene.bvh.child_entry.shape[0]
-        print(f"# arity {arity}: rows={rows.shape[0]} (internal {W}, "
+        print(f"# {arity}x{leaf}: rows={rows.shape[0]} (internal {W}, "
               f"leaf {rows.shape[0] - W}) "
               f"{rows.size * 4 / 1e6:.1f} MB stack={meta.stack_depth}",
               flush=True)
-        scenes[arity] = (scene, meta)
+        scenes[var] = (scene, meta)
 
     # Shared ray sets (geometry identical across arities).
     w = 1 << math.ceil(math.log2(math.sqrt(N * 16 / 9)))
@@ -92,18 +99,18 @@ def main():
     lens_u = jnp.full((N, 2), 0.5, jnp.float32)
     o_coh, d_coh = gen_rays(cam, interp, lens_u)
 
-    def run(arity, o, d, any_hit=False, with_stats=False):
-        scene, meta = scenes[arity]
+    def run(var, o, d, any_hit=False, with_stats=False):
+        scene, meta = scenes[var]
         P = N // K
         return traverse_pallas(
             scene.bvh.node_rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
             jnp.full((P, K), 1e20, jnp.float32), jnp.ones((P, K), bool),
             stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
-            any_hit=any_hit, ordered=not any_hit, arity=arity,
+            any_hit=any_hit, ordered=not any_hit, arity=var[0],
             with_stats=with_stats)
 
-    # Incoherent set from arity-8 hit points (same for both).
-    a0 = int(args.arities.split(",")[0])
+    # Incoherent set from the first variant's hit points (same for all).
+    a0 = variants[0]
     t, prim = run(a0, o_coh, d_coh)[:2]
     t = t.reshape(N)
     hitp = jnp.where((prim.reshape(N) >= 0)[:, None],
@@ -117,16 +124,17 @@ def main():
     rays = {"coherent": (o_coh, d_coh), "incoherent": (o_inc, d_inc)}
 
     ref = {}
-    for arity in scenes:
+    for var in scenes:
         for name, (o, d) in rays.items():
             for any_hit in (False, True):
-                tag = f"arity={arity} {name} {'any' if any_hit else 'closest'}"
-                f = lambda o=o, d=d, arity=arity, any_hit=any_hit: run(
-                    arity, o, d, any_hit=any_hit)[0 if not any_hit else 1]
+                tag = (f"{var[0]}x{var[1]} {name} "
+                       f"{'any' if any_hit else 'closest'}")
+                f = lambda o=o, d=d, var=var, any_hit=any_hit: run(
+                    var, o, d, any_hit=any_hit)[0 if not any_hit else 1]
                 r0 = f()  # compile outside timed region
                 # Equivalence vs the first arity's result.
                 key = (name, any_hit)
-                val = np.asarray(run(arity, o, d, any_hit=any_hit)[1])
+                val = np.asarray(run(var, o, d, any_hit=any_hit)[1])
                 if key in ref:
                     same = (np.array_equal(val >= 0, ref[key] >= 0)
                             if any_hit else np.array_equal(val, ref[key]))
@@ -142,7 +150,7 @@ def main():
                 line = (f"{tag}: {N / med / 1e6:.2f} Mrays/s "
                         f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
                 if args.stats:
-                    st = np.asarray(run(arity, o, d, any_hit=any_hit,
+                    st = np.asarray(run(var, o, d, any_hit=any_hit,
                                         with_stats=True)[4])
                     tot = st[:, :2].sum(0)
                     line += (f" | pops node={tot[0]} leaf={tot[1]} "
