@@ -19,6 +19,7 @@ def build_wide_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                    builder: str = "auto",
                    spatial_splits: bool = True,
                    force_leaf: bool = False,
+                   reinsert_rounds: int = 0,
                    verbose: bool = False) -> Tuple[WideBVH, BuildStats]:
     """Build the flattened wide BVH over world-space triangles [T, 3] each.
 
@@ -32,7 +33,8 @@ def build_wide_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
             from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
             binary, stats = build_sbvh_cpp(p0, p1, p2, max_leaf=leaf_size,
                                            spatial_splits=spatial_splits,
-                                           force_leaf=force_leaf)
+                                           force_leaf=force_leaf,
+                                           reinsert_rounds=reinsert_rounds)
         except Exception:
             if builder == "cpp":
                 raise

@@ -462,6 +462,151 @@ struct Builder {
     }
     return total / std::max((double)rootArea, 1e-20);
   }
+
+  // --- Insertion-based tree optimization (Bittner et al. 2013) ----------
+  //
+  // The reference implements node removal + upward refit but leaves the
+  // reinsertion loop body empty and the call commented out
+  // (src/core/BVH.cpp:2303-2397, 2216) — this completes that roadmap item.
+  // Each pass detaches high-surface-area subtrees and re-inserts them at
+  // the globally best position found by a best-first branch-and-bound
+  // search over SA growth (the standard formulation). Pop counts in the
+  // packet traversal are surface-area-weighted (PERF.md session 8), so
+  // upper-tree SA reduction is the lever this targets.
+
+  void refitUp(std::vector<int32_t>& parent, int32_t n) {
+    while (n >= 0) {
+      Node& nd = nodes[n];
+      if (nd.count <= 0) {
+        AABB b = nodes[nd.left].box;
+        b.extend(nodes[nd.right].box);
+        nd.box = b;
+      }
+      n = parent[n];
+    }
+  }
+
+  // Best sibling for a floating subtree with box `nb`: minimizes
+  // direct cost (SA of the new parent) + induced cost (ancestor SA
+  // growth). Returns -1 if nothing beats `bound`.
+  int32_t findBestSibling(const AABB& nb, float bound,
+                          std::vector<std::pair<float, int32_t>>& heap) {
+    float nbArea = nb.halfArea();
+    float best = bound;
+    int32_t bestS = -1;
+    heap.clear();
+    heap.push_back({0.0f, 0});
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(),
+                    [](const auto& a, const auto& b) { return a.first > b.first; });
+      auto [induced, s] = heap.back();
+      heap.pop_back();
+      if (induced + nbArea >= best) break;  // min-heap: no candidate can win
+      AABB u = nodes[s].box;
+      u.extend(nb);
+      float direct = u.halfArea();
+      if (s != 0 && induced + direct < best) {  // root stays at index 0
+        best = induced + direct;
+        bestS = s;
+      }
+      if (nodes[s].count <= 0) {
+        float childInduced = induced + (direct - nodes[s].box.halfArea());
+        if (childInduced + nbArea < best) {
+          heap.push_back({childInduced, nodes[s].left});
+          std::push_heap(heap.begin(), heap.end(),
+                         [](const auto& a, const auto& b) { return a.first > b.first; });
+          heap.push_back({childInduced, nodes[s].right});
+          std::push_heap(heap.begin(), heap.end(),
+                         [](const auto& a, const auto& b) { return a.first > b.first; });
+        }
+      }
+    }
+    return bestS;
+  }
+
+  void optimize(int rounds) {
+    if (rounds <= 0 || nodes.size() < 8) return;
+    std::vector<int32_t> parent(nodes.size(), -1);
+    for (size_t i = 0; i < nodes.size(); i++) {
+      if (nodes[i].count <= 0) {
+        parent[nodes[i].left] = (int32_t)i;
+        parent[nodes[i].right] = (int32_t)i;
+      }
+    }
+    std::vector<std::pair<float, int32_t>> heap;
+    std::vector<std::pair<float, int32_t>> order;
+    for (int round = 0; round < rounds; round++) {
+      // Candidates: internal nodes by descending SA (skip root + its
+      // children: their parents cannot be detached).
+      order.clear();
+      for (size_t i = 1; i < nodes.size(); i++) {
+        if (nodes[i].count <= 0 && parent[i] != 0) {
+          order.push_back({nodes[i].box.halfArea(), (int32_t)i});
+        }
+      }
+      std::sort(order.begin(), order.end(),
+                [](const auto& a, const auto& b) { return a.first > b.first; });
+      size_t batch = order.size() / 10 + 1;  // top 10% per pass
+      int moved = 0;
+      for (size_t c = 0; c < batch && c < order.size(); c++) {
+        int32_t n = order[c].second;
+        int32_t p = parent[n];
+        if (p <= 0) continue;  // re-check: tree mutates within the pass
+        int32_t g = parent[p];
+        int32_t sib = nodes[p].left == n ? nodes[p].right : nodes[p].left;
+        // Current contribution of keeping n where it is: the SA of p plus
+        // whatever the ancestors shrink by if n leaves. Detach, measure,
+        // and only commit when the best new position beats putting it back.
+        (nodes[g].left == p ? nodes[g].left : nodes[g].right) = sib;
+        parent[sib] = g;
+        refitUp(parent, g);
+        // Cost of undoing the removal = re-pairing with the old sibling.
+        AABB back = nodes[sib].box;
+        back.extend(nodes[n].box);
+        // Ancestor growth of re-inserting at sib (computed against the
+        // already-refit tree, same frame as the search).
+        float backInduced = 0.0f;
+        {
+          AABB acc = back;
+          for (int32_t a = g; a >= 0; a = parent[a]) {
+            AABB u = nodes[a].box;
+            float before = u.halfArea();
+            u.extend(acc);
+            backInduced += u.halfArea() - before;
+            acc = u;
+          }
+        }
+        float bound = back.halfArea() + backInduced;
+        int32_t s = findBestSibling(nodes[n].box, bound, heap);
+        if (s < 0) s = sib;  // nothing strictly better: restore
+        else moved++;
+        int32_t sp = parent[s];
+        nodes[p].left = n;
+        nodes[p].right = s;
+        AABB u = nodes[n].box;
+        u.extend(nodes[s].box);
+        nodes[p].box = u;
+        (nodes[sp].left == s ? nodes[sp].left : nodes[sp].right) = p;
+        parent[p] = sp;
+        parent[s] = p;
+        parent[n] = p;
+        refitUp(parent, sp);
+      }
+      if (moved == 0) break;
+    }
+    // Depth changed arbitrarily: recompute (iterative DFS).
+    maxDepthSeen = 0;
+    std::vector<std::pair<int32_t, int>> st{{0, 1}};
+    while (!st.empty()) {
+      auto [n, d] = st.back();
+      st.pop_back();
+      maxDepthSeen = std::max(maxDepthSeen, d);
+      if (nodes[n].count <= 0) {
+        st.push_back({nodes[n].left, d + 1});
+        st.push_back({nodes[n].right, d + 1});
+      }
+    }
+  }
 };
 
 }  // namespace
@@ -470,6 +615,7 @@ extern "C" {
 
 void* sbvh_build(const float* verts, int32_t num_tris, int32_t max_leaf,
                  int32_t spatial, int32_t force_leaf, float alpha,
+                 int32_t reinsert_rounds,
                  int32_t* out_num_nodes,
                  int32_t* out_num_refs, int32_t* out_num_leaves,
                  int32_t* out_max_depth, int32_t* out_spatial_splits,
@@ -482,6 +628,7 @@ void* sbvh_build(const float* verts, int32_t num_tris, int32_t max_leaf,
   b->forceLeaf = force_leaf != 0;
   b->alpha = alpha;
   b->build();
+  b->optimize(reinsert_rounds);
   *out_num_nodes = (int32_t)b->nodes.size();
   *out_num_refs = (int32_t)b->refsOut.size();
   *out_num_leaves = b->numLeaves;

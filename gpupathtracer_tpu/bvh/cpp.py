@@ -50,7 +50,7 @@ def _load() -> ctypes.CDLL:
         lib.sbvh_build.restype = ctypes.c_void_p
         lib.sbvh_build.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
@@ -67,10 +67,13 @@ def _load() -> ctypes.CDLL:
 def build_sbvh_cpp(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                    max_leaf: int = 4, spatial_splits: bool = True,
                    force_leaf: bool = False,
-                   alpha: float = 1e-5) -> Tuple[BinaryBVH, BuildStats]:
+                   alpha: float = 1e-5,
+                   reinsert_rounds: int = 0) -> Tuple[BinaryBVH, BuildStats]:
     """Build a binary SBVH natively. alpha is the spatial-split trigger
     threshold (overlap area / root area), 1e-5 like BVH.cpp:2135.
-    force_leaf packs leaves to max_leaf unconditionally (packet trees)."""
+    force_leaf packs leaves to max_leaf unconditionally (packet trees).
+    reinsert_rounds > 0 runs the Bittner-2013 insertion-based optimizer
+    (the pass the reference stubbed out, BVH.cpp:2303-2397)."""
     lib = _load()
     t0 = time.perf_counter()
     tris = np.ascontiguousarray(
@@ -87,6 +90,7 @@ def build_sbvh_cpp(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
         np.int32(max_leaf), np.int32(1 if spatial_splits else 0),
         np.int32(1 if force_leaf else 0), np.float32(alpha),
+        np.int32(reinsert_rounds),
         ctypes.byref(o_nodes), ctypes.byref(o_refs), ctypes.byref(o_leaves),
         ctypes.byref(o_depth), ctypes.byref(o_spatial), ctypes.byref(o_sah))
     try:

@@ -72,6 +72,8 @@ class RenderConfig:
     # on TPU and shrink the merged table ~7x.
     leaf_size: int = 10                    # max triangles per wide-BVH leaf
     force_leaf: bool = True                # pack leaves to leaf_size unconditionally
+    reinsert_rounds: int = 0               # Bittner-2013 insertion optimizer passes
+    #                                        (the pass BVH.cpp:2303-2397 stubbed out)
     traversal: str = "auto"                # "auto" | "pallas" (on-core kernel) | "packet" | "perray"
     bounce_traversal: str = "auto"         # bounce-ray override: "auto" | "same" | "treelet" | any traversal name
     treelet_min: int = 1 << 15             # min wavefront width for treelet binning/sorting

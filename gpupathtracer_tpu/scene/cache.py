@@ -26,6 +26,7 @@ def _scene_fingerprint(cfg) -> str:
     key = (f"v{CACHE_VERSION}|{ident}|leaf{cfg.leaf_size}|ar{cfg.wide_arity}"
            f"|b{cfg.bvh_builder}|ss{cfg.spatial_splits}|fl{cfg.force_leaf}"
            f"|mip{getattr(cfg, 'mip_levels', 1)}"
+           f"|ri{getattr(cfg, 'reinsert_rounds', 0)}"
            f"|{_builder_fingerprint()}")
     return hashlib.sha1(key.encode()).hexdigest()[:20]
 

@@ -126,7 +126,8 @@ def pack_scene(soup: TriangleSoup, materials: List[MaterialDesc],
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
                                  spatial_splits=cfg.spatial_splits,
-                                 force_leaf=cfg.force_leaf)
+                                 force_leaf=cfg.force_leaf,
+                                 reinsert_rounds=cfg.reinsert_rounds)
     return _upload(soup, table, idx, cdf, total_area, wide, stats, env,
                    cfg, name, atlas_img, atlas_rects, atlas_mips)
 
@@ -325,7 +326,8 @@ def load_scene(cfg: RenderConfig) -> Tuple[SceneData, SceneMeta]:
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=cfg.leaf_size,
                                  arity=cfg.wide_arity, builder=cfg.bvh_builder,
                                  spatial_splits=cfg.spatial_splits,
-                                 force_leaf=cfg.force_leaf)
+                                 force_leaf=cfg.force_leaf,
+                                 reinsert_rounds=cfg.reinsert_rounds)
     if cfg.cache_enabled:
         scache.save_scene_cache(cfg, soup, table, idx, cdf, total_area,
                                 wide, stats, atlas_img, atlas_rects,

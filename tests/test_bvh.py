@@ -147,3 +147,50 @@ def test_cpp_builder_traversal_equivalence(rng):
     np.testing.assert_allclose(np.asarray(h.t), np.asarray(bt),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(h.prim < 0), np.asarray(bp < 0))
+
+
+def test_cpp_reinsert_optimizer(rng):
+    """Bittner-2013 reinsertion (the pass BVH.cpp:2303-2397 left stubbed):
+    tree stays valid, SAH does not regress, traversal stays exact."""
+    import jax.numpy as jnp
+    from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
+    from gpupathtracer_tpu.bvh.types import WideBVH
+    from gpupathtracer_tpu.ops.intersect import (brute_force_closest_hit,
+                                                 pack_tri_geom)
+    from gpupathtracer_tpu.ops.traverse import closest_hit
+
+    p0, p1, p2 = random_tris(rng, 900)
+    base, st0 = build_sbvh_cpp(p0, p1, p2, max_leaf=4)
+    opt, st1 = build_sbvh_cpp(p0, p1, p2, max_leaf=4, reinsert_rounds=4)
+    assert st1.sah_cost <= st0.sah_cost + 1e-4
+    # Same reference multiset (reinsertion moves subtrees, never leaves).
+    assert sorted(opt.refs.tolist()) == sorted(base.refs.tolist())
+    # Every node reachable exactly once; internal containment holds.
+    seen = np.zeros(opt.num_nodes, bool)
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        assert not seen[n]
+        seen[n] = True
+        if opt.count[n] == 0:
+            for ch in (opt.left[n], opt.right[n]):
+                assert (opt.bmin[ch] >= opt.bmin[n] - 1e-4).all()
+                assert (opt.bmax[ch] <= opt.bmax[n] + 1e-4).all()
+                stack.append(int(ch))
+    assert seen.all()
+    # Traversal through the optimized tree still matches brute force.
+    wide, depth = collapse_to_wide(opt, arity=8)
+    dev = WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
+                  child_entry=jnp.asarray(wide.child_entry),
+                  refs=jnp.asarray(wide.refs))
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    o = rng.uniform(-8, 8, (128, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (128, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((128,), 1e20, jnp.float32)
+    bt, bp, _, _ = brute_force_closest_hit(geom, o, d, tmax)
+    h = closest_hit(dev, geom, o, d, tmax, stack_depth=depth * 7 + 2)
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(bt),
+                               rtol=1e-5, atol=1e-5)

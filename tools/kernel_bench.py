@@ -86,6 +86,8 @@ def main() -> None:
                          "(packet mode); comma-separated list to sweep")
     ap.add_argument("--leaf", type=int, default=0,
                     help="override builder leaf_size (0 = config default)")
+    ap.add_argument("--reinsert", type=int, default=0,
+                    help="Bittner reinsertion optimizer rounds (builder)")
     ap.add_argument("--arity", type=int, default=8,
                     help="wide-BVH branching factor (8 default; 16 packs "
                          "16 children per 128-lane row — Pallas path only)")
@@ -115,6 +117,7 @@ def main() -> None:
     cfg.wide_arity = args.arity
     if args.leaf:
         cfg.leaf_size = args.leaf
+    cfg.reinsert_rounds = args.reinsert
     scene, meta = load_scene(cfg)
     rows = scene.bvh.node_rows
     print(f"# {args.scene}: rows={rows.shape} "
