@@ -135,6 +135,9 @@ def main(argv=None) -> int:
     p.add_argument("--interactive", action="store_true",
                    help="live WASD camera loop in the terminal (ANSI "
                         "half-block frames; Program.cpp:103-146 role)")
+    p.add_argument("--viewer-bench", type=int, default=0, metavar="N",
+                   help="run N scripted navigation frames of the viewer "
+                        "loop headless and report fps (no tty needed)")
     p.add_argument("--move-speed", type=float, default=1.0,
                    help="interactive camera move step (world units)")
     p.add_argument("--orbit", type=int, default=0, metavar="N",
@@ -166,6 +169,15 @@ def main(argv=None) -> int:
 
     out = args.out or timestamped_name(
         os.path.splitext(os.path.basename(args.scene))[0].replace(":", "_"))
+
+    if args.viewer_bench:
+        from gpupathtracer_tpu.render.viewer import bench_viewer
+        fps, enc_ms = bench_viewer(r, frames=args.viewer_bench,
+                                   move_speed=args.move_speed)
+        print(f"viewer loop: {fps:.1f} fps over {args.viewer_bench} "
+              f"navigation frames ({cfg.width}x{cfg.height}, "
+              f"{args.integrator}; ANSI encode {enc_ms:.1f} ms/frame)")
+        return 0
 
     if args.interactive:
         from gpupathtracer_tpu.render.viewer import run_viewer

@@ -342,14 +342,23 @@ class Renderer:
         img = img[:self.height, :self.width]
         return img / max(self.num_samples, 1)
 
-    def present(self) -> np.ndarray:
-        """Tonemapped LDR frame [H, W, 3] in [0, 1] (Present.frag role).
-        Row 0 is the bottom scanline (GL convention); save with flip_y=True."""
+    def present_device(self):
+        """Tonemapped LDR frame as a DEVICE array (no host readback).
+
+        Lets a caller enqueue the next frame's dispatch before paying the
+        transfer — the double-buffering a windowed renderer gets from the
+        swapchain (Program.cpp's render/Present overlap). Convert with
+        np.asarray when the pixels are actually needed."""
         img = present_op(self._unpermute().reshape(self.pad_h, self.pad_w, 3),
                          max(self.num_samples, 1),
                          exposure=self.cfg.exposure,
                          tonemap=self.cfg.tonemap)
-        return np.asarray(img)[:self.height, :self.width]
+        return img[:self.height, :self.width]
+
+    def present(self) -> np.ndarray:
+        """Tonemapped LDR frame [H, W, 3] in [0, 1] (Present.frag role).
+        Row 0 is the bottom scanline (GL convention); save with flip_y=True."""
+        return np.asarray(self.present_device())
 
     def save_screenshot(self, path: str) -> str:
         """SaveScreenshot (Renderer.cpp:697-705): tonemapped PNG, y-flipped."""

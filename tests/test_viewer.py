@@ -16,8 +16,10 @@ def test_ansi_frame_geometry_and_colors():
     s = _ansi_frame(img)
     lines = s.split("\n")
     assert len(lines) == 2                      # 4 rows -> 2 half-block rows
-    assert lines[0].startswith("\x1b[38;2;255;0;0m")   # red drawn first
-    assert "\x1b[48;2;0;0;255m" in lines[1]            # blue in last line
+    # Zero-padded SGR params (fixed-width vectorized encoder) are
+    # equivalent escape codes.
+    assert lines[0].startswith("\x1b[38;2;255;000;000m")  # red drawn first
+    assert "\x1b[48;2;000;000;255m" in lines[1]           # blue in last line
     assert all(line.endswith("\x1b[0m") for line in lines)
     assert lines[0].count("▀") == 3             # one glyph per column
 
@@ -28,4 +30,44 @@ def test_ansi_frame_clips_and_handles_odd_height():
     assert s.count("\n") == 1                   # 5 rows -> 2 rows used
     assert "255;255;255" in s
     img2 = np.full((2, 2, 3), -1.0, np.float32)
-    assert "0;0;0" in _ansi_frame(img2)
+    assert "000;000;000" in _ansi_frame(img2)
+
+
+def test_ansi_frame_decodes_back_to_the_image():
+    """Parse every cell's fg/bg SGR back out and compare against the
+    quantized source — the encoder must be a lossless presenter."""
+    import re
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0, 1, (6, 5, 3)).astype(np.float32)
+    expect = (np.clip(img, 0, 1) * 255).astype(np.uint8)[::-1]
+    cell = re.compile(r"\x1b\[38;2;(\d{3});(\d{3});(\d{3})m"
+                      r"\x1b\[48;2;(\d{3});(\d{3});(\d{3})m▀")
+    for r, line in enumerate(_ansi_frame(img).split("\n")):
+        cells = cell.findall(line)
+        assert len(cells) == 5
+        for x, c in enumerate(cells):
+            np.testing.assert_array_equal(
+                np.asarray(c[:3], np.int32), expect[2 * r, x])
+            np.testing.assert_array_equal(
+                np.asarray(c[3:], np.int32), expect[2 * r + 1, x])
+
+
+def test_apply_keys_movement_and_reset():
+    import math
+
+    from gpupathtracer_tpu.config import CameraConfig
+    from gpupathtracer_tpu.render.viewer import _apply_keys
+
+    cam = CameraConfig(position=(0.0, 0.0, 0.0), yaw=math.pi, pitch=0.0)
+    # yaw=pi looks +z (forward = -dir); 'w' must advance +z.
+    c2, moved, reset = _apply_keys(cam, "w", 2.0, 0.1)
+    assert moved and not reset
+    assert abs(c2.position[2] - 2.0) < 1e-6 and abs(c2.position[0]) < 1e-6
+    # Strafe right ('d') at yaw=pi is -x; 'r' is straight up.
+    c3, _, _ = _apply_keys(c2, "dr", 1.0, 0.1)
+    assert abs(c3.position[0] + 1.0) < 1e-6 and abs(c3.position[1] - 1.0) < 1e-6
+    # Arrow-up turns pitch (clamped), space only resets.
+    c4, moved, reset = _apply_keys(c3, "\x1b[A ", 1.0, 0.1)
+    assert moved and reset and abs(c4.pitch - 0.1) < 1e-9
+    c5, moved, reset = _apply_keys(c4, " ", 1.0, 0.1)
+    assert (not moved) and reset and c5.position == c4.position
