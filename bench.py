@@ -69,6 +69,25 @@ def main() -> None:
     extra = {}
     import gc
 
+    # Tunnel-health probe: median round-trip of a tiny device readback.
+    # The axon tunnel degrades ~10x for minutes after process churn and
+    # can depress small-frame fps ~40% under sustained traffic (PERF.md
+    # sessions 7/9); recording the RTT makes every number below
+    # interpretable against the healthy-session baseline (~1-3 ms).
+    import jax.numpy as jnp
+    x = jnp.ones((8,), jnp.float32)
+    float(jnp.sum(x))  # compile + first transfer outside the probe
+    rtts = []
+    for _ in range(10):
+        t0 = time.time()
+        float(jnp.sum(x))
+        rtts.append(time.time() - t0)
+    rtts.sort()
+    extra["tunnel_rtt_ms"] = round(rtts[len(rtts) // 2] * 1e3, 2)
+    print(f"# tunnel probe: median readback RTT {extra['tunnel_rtt_ms']} ms "
+          f"(min {rtts[0]*1e3:.2f}, max {rtts[-1]*1e3:.2f})",
+          file=sys.stderr)
+
     # The FPS configs run FIRST: the tunnel develops measurable
     # backpressure under sustained heavy traffic (table direct measured
     # 18.5-20.8 fps at the END of the old bench sequence vs 33-35 fps

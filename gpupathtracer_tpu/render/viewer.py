@@ -8,7 +8,9 @@ accumulation exactly like Program.cpp:115-120; standing still accumulates
 progressively.
 
 Keys: w/s forward/back, a/d strafe, r/f up/down, arrows (or hjkl) turn,
-space reset accumulation, q quit.
+space reset accumulation, x screenshot (the F2 role, Program.cpp:127-130),
+R ground-truth reference render at the current camera (the R key,
+Program.cpp:124-126), q quit.
 """
 
 from __future__ import annotations
@@ -163,7 +165,8 @@ def bench_viewer(renderer, frames: int = 60, move_speed: float = 0.25,
 
 
 def run_viewer(renderer, move_speed: float = 1.0,
-               turn_speed: float = 0.08, max_fps: float = 30.0) -> None:
+               turn_speed: float = 0.08, max_fps: float = 30.0,
+               ref_spp: int = 64) -> None:
     """Progressive interactive loop on an existing Renderer.
 
     The camera basis matches the reference's yaw/pitch forward vector
@@ -192,12 +195,38 @@ def run_viewer(renderer, move_speed: float = 1.0,
                 f"pos=({cam.position[0]:.1f},{cam.position[1]:.1f},"
                 f"{cam.position[2]:.1f}) yaw={cam.yaw:.2f} "
                 f"pitch={cam.pitch:.2f} | wasd/rf move, arrows turn, "
-                f"space reset, q quit\n")
+                f"space reset, x shot, R reference, q quit\n")
             sys.stdout.flush()
 
             keys = _read_keys(1.0 / max_fps)
             if "q" in keys or "\x03" in keys:
                 break
+            if "x" in keys:  # timestamped screenshot, the F2 role
+                from gpupathtracer_tpu.utils.io import timestamped_name
+                path = renderer.save_screenshot(timestamped_name("viewer"))
+                sys.stdout.write(f"\x1b[0m saved {path}\n")
+                keys = keys.replace("x", "")
+            if "R" in keys:
+                # Ground-truth render at the current camera (the R key,
+                # Program.cpp:124-126 / RenderReference): accumulate
+                # `ref_spp` uniform-hemisphere reference samples, save
+                # with the elapsed seconds in the name, resume navigation.
+                from gpupathtracer_tpu.utils.io import timestamped_name
+                sys.stdout.write(f"\x1b[0m reference render "
+                                 f"({ref_spp} spp; first sample jits)...\n")
+                sys.stdout.flush()
+                renderer.reset_samples()
+                rt0 = time.time()
+                for s in range(ref_spp):
+                    renderer.render_frame("reference")
+                    if (s + 1) % 16 == 0:
+                        sys.stdout.write(f"  {s + 1}/{ref_spp} spp\n")
+                        sys.stdout.flush()
+                path = renderer.save_screenshot(timestamped_name(
+                    f"reference-{time.time() - rt0:.0f}s"))
+                sys.stdout.write(f" saved {path}\n")
+                renderer.reset_samples()
+                keys = keys.replace("R", "")
             if keys:
                 cam, moved, reset = _apply_keys(cam, keys, move_speed,
                                                 turn_speed)

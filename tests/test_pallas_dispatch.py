@@ -147,6 +147,7 @@ def test_viewer_ansi_frame():
     s = _ansi_frame(img)
     lines = s.split("\n")
     assert len(lines) == 2
-    assert "38;2;0;255;0" in lines[0]    # top drawn first (foreground)
-    assert "48;2;255;0;0" in lines[-1]   # bottom last (background)
+    # Zero-padded SGR params (fixed-width vectorized encoder).
+    assert "38;2;000;255;000" in lines[0]   # top drawn first (foreground)
+    assert "48;2;255;000;000" in lines[-1]  # bottom last (background)
     assert lines[0].count("▀") == 2
