@@ -95,3 +95,44 @@ def test_checkpoint_film_mismatch(tmp_path):
     np.savez_compressed(p, **data)
     with pytest.raises(ValueError, match="checkpoint film"):
         load_checkpoint(p)
+
+
+def test_spatial_split_duplication_budget():
+    """Adversarial long thin diagonal triangles provoke spatial splits;
+    the builder's duplication budget (sbvh.cpp extraRefBudget, ~30% of
+    the triangle count — a guard the reference lacks, BVH.cpp:1927-1983
+    duplicates unboundedly) must cap refs while keeping traversal exact."""
+    from gpupathtracer_tpu.bvh.cpp import build_sbvh_cpp
+
+    rng = np.random.RandomState(7)
+    n = 400
+    # Each triangle spans the whole [-5,5] diagonal with a tiny cross
+    # section: worst case for axis-aligned bins, best case for clipping.
+    a = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    b = -a + rng.normal(0, 0.02, (n, 3)).astype(np.float32)
+    c = a + rng.normal(0, 0.02, (n, 3)).astype(np.float32)
+    bvh, st = build_sbvh_cpp(a, b, c, max_leaf=4)
+    assert st.num_refs >= n
+    assert st.num_refs <= int(n * 1.35) + 8, \
+        f"duplication budget breached: {st.num_refs} refs for {n} tris"
+    # Every triangle still reachable.
+    assert sorted(set(bvh.refs.tolist())) == list(range(n))
+    # Traversal through the clipped tree matches brute force.
+    from gpupathtracer_tpu.bvh.types import WideBVH
+    from gpupathtracer_tpu.bvh.wide import collapse_to_wide
+    from gpupathtracer_tpu.ops.intersect import (brute_force_closest_hit,
+                                                 pack_tri_geom)
+    from gpupathtracer_tpu.ops.traverse import closest_hit
+    wide, depth = collapse_to_wide(bvh, arity=8)
+    dev = WideBVH(child_bounds=jnp.asarray(wide.child_bounds),
+                  child_entry=jnp.asarray(wide.child_entry),
+                  refs=jnp.asarray(wide.refs))
+    geom = jnp.asarray(pack_tri_geom(a, b - a, c - a))
+    o = jnp.asarray(rng.uniform(-8, 8, (128, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((128,), 1e20, jnp.float32)
+    bt, bp, _, _ = brute_force_closest_hit(geom, o, d, tmax)
+    h = closest_hit(dev, geom, o, d, tmax, stack_depth=depth * 7 + 2)
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(bt),
+                               rtol=1e-4, atol=1e-4)
