@@ -98,7 +98,10 @@ def main():
     py = (idx // side).astype(jnp.float32) / side
     o_c, d_c = gen_rays(cam, jnp.stack([px, py], 1),
                         jnp.full((side * side, 2), 0.5))
-    nc = side * side
+    # shard_map needs the ray count to divide the chip count; trim the
+    # grid tail (statistics are population-level, a <D-ray trim is noise).
+    nc = side * side // D * D
+    o_c, d_c = o_c[:nc], d_c[:nc]
 
     # Incoherent population: random origins inside the scene bounds,
     # random directions (the bounce-wavefront stand-in, kernel_bench's
