@@ -18,7 +18,7 @@ Partition construction (host, numpy):
      recursive kd split of their centroids ("spatial", the measured
      default: V = 1.80 vs 5.01 subtree visits per incoherent ray for
      pure row-count LPT packing — PERF.md partition statistics).
-  3. Replicate the K highest-demand entries (default K=4) into EVERY
+  3. Replicate the K highest-demand entries (default K=6) into EVERY
      device's hop-0 root, served exclusively on each ray's home chip; a
      second steady root without them serves hops >= 1 (measured: pops
      wall proxy -6% incoherent closest / -43% any-hit at flat total
@@ -256,6 +256,26 @@ def partition_cut(node_rows: np.ndarray, num_wide_nodes: int,
     return e, b
 
 
+def _repair_group_caps(group_of, sizes, cap: int) -> None:
+    """Enforce the synthetic-root cap in place: a two-level (8x8) root
+    holds at most 64 children, so each group may keep at most
+    cap = 64 - len(hot) steady entries. The kd/LPT grouping balances by
+    WEIGHT, not count, so an adversarially skewed cut can overfill one
+    group — repair by moving the smallest members (fewest reachable
+    rows) to the emptiest groups. Grouping is a performance heuristic;
+    correctness needs only exactly-once coverage and the root cap."""
+    total = sum(len(g) for g in group_of)
+    if total > max(cap, 0) * len(group_of):
+        raise ValueError(f"{total} steady cut entries exceed "
+                         f"{len(group_of)} chips x {cap} roots "
+                         f"(replicate_hot too large?)")
+    for g in range(len(group_of)):
+        while len(group_of[g]) > cap:
+            m = min(group_of[g], key=lambda i: sizes[i])
+            group_of[g].remove(m)
+            group_of[int(np.argmin([len(x) for x in group_of]))].append(m)
+
+
 def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
                     num_devices: int, grouping: str = "spatial",
                     replicate_hot: int = 6,
@@ -313,6 +333,7 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
         _collect_rows(int(e), entry_all, W, rows, seen)
         sub_rows.append(rows)
 
+    w_demand = None  # computed at most once (grouping and/or hot selection)
     if grouping in ("spatial", "spatial-area", "demand"):
         if grouping == "spatial-area":
             # MEASURED LOSS (PERF.md): bare AABB half-area does not track
@@ -326,7 +347,8 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
             # incoherent bounce-ray stand-in) against its bounds — the
             # same mask parallel/partition.py routes with, so group
             # weights equalize the expected per-hop barrier directly.
-            w = _demand_weights(cut_bounds, rays=demand_rays)
+            w_demand = _demand_weights(cut_bounds, rays=demand_rays)
+            w = w_demand
         else:
             w = np.asarray([len(r) for r in sub_rows], np.float64)
         group_of = _group_spatial(cut_bounds, w, D)
@@ -357,16 +379,22 @@ def build_partition(node_rows: np.ndarray, num_wide_nodes: int,
 
     hot: list = []
     if hot_entries is not None:
-        hot = [int(h) for h in hot_entries if 0 <= int(h) < C]
+        # Stable-dedup: a duplicate index would emit the same subtree
+        # twice into every hop-0 root (double pops per ray).
+        hot = list(dict.fromkeys(
+            int(h) for h in hot_entries if 0 <= int(h) < C))
     elif replicate_hot > 0:
-        hot = [int(h) for h in
-               np.argsort(-_demand_weights(cut_bounds,
-                                           rays=demand_rays))[:replicate_hot]]
+        if w_demand is None:
+            w_demand = _demand_weights(cut_bounds, rays=demand_rays)
+        hot = [int(h) for h in np.argsort(-w_demand)[:replicate_hot]]
     if hot:
         hot_set = set(hot)
         # Hot entries leave their owner's steady set — they are served at
         # hop 0 on every ray's home chip instead.
         group_of = [[i for i in g if i not in hot_set] for g in group_of]
+
+    _repair_group_caps(group_of, {i: len(sub_rows[i]) for g in group_of
+                                  for i in g}, 64 - len(hot))
 
     def _n_synth(members) -> int:
         """Synthetic rows a root over `members` needs (1 or two-level)."""

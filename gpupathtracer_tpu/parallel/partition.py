@@ -183,9 +183,11 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
         state = (o_c, d_c, t_c, prim_c, u_c, v_c, act_c)
         if step < D - 1:
             state = jax.lax.ppermute(state, axis_name, perm)
-    # D-1 hops: rotate once more so blocks land back on their origin chip.
-    state = jax.lax.ppermute(state, axis_name, perm)
-    _, _, t, prim, u, v, _ = state
+    # D-1 hops: rotate once more so blocks land back on their origin chip —
+    # only the hit payload (t/prim/u/v); o/d/act are dead after the loop,
+    # so shipping them home would waste ~64% of the last hop's ICI bytes.
+    t, prim, u, v = jax.lax.ppermute(
+        (state[2], state[3], state[4], state[5]), axis_name, perm)
     if with_stats:
         return t, prim, u, v, jnp.stack([jnp.stack(routed),
                                          jnp.stack(improved),
@@ -274,7 +276,10 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
                               interpret: bool | None = None):
     """shard_map wrapper: full [N] rays in, full [N] Hit out (N must divide
     the chips axis). with_stats additionally returns a [D, 3, D] i32 array
-    of per-(owner-chip, hop) routed/improved ray counts and kernel pops."""
+    of per-(SERVING-chip, hop) routed/improved ray counts and kernel pops:
+    row c holds chip c's counters over the shards resident on it each hop
+    (the shard that originated on chip (c - hop) mod D), which is the
+    per-chip LOAD convention tools/partition_bench.py reports."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = mesh.shape[axis]

@@ -81,11 +81,12 @@ def _ansi_frame(img) -> str:
 def _apply_keys(cam, keys: str, move_speed: float, turn_speed: float):
     """Apply a WASD/arrow key string to a CameraConfig.
 
-    Returns (cam, moved, reset). The camera LOOKS along -dir (gen_rays
-    negates the stored direction, Camera.cpp semantics), so "forward"
-    here is -dir."""
-    fx = -math.cos(cam.pitch) * math.sin(cam.yaw)
-    fy = -math.sin(cam.pitch)
+    Returns (cam, moved, reset). Rays travel along the pitch/yaw vector
+    d = (cos p sin y, sin p, -cos p cos y): generate_image_plane stores
+    direction = -d and centers the film target at -direction*focal
+    (math/camera.py:40,52, Camera.cpp semantics), so "forward" is +d."""
+    fx = math.cos(cam.pitch) * math.sin(cam.yaw)
+    fy = math.sin(cam.pitch)
     fz = -math.cos(cam.pitch) * math.cos(cam.yaw)
     rx, rz = -fz, fx  # right = forward x up (y-up)
     px, py, pz = cam.position

@@ -398,6 +398,39 @@ def test_replicate_hot_two_level_roots(bunny):
     assert (same | np.isclose(t_p, t_r, rtol=1e-6, atol=1e-6)).all()
 
 
+def test_hot_entries_dedup(bunny):
+    """Duplicate explicit hot_entries must build the identical partition
+    as the deduped list — a duplicate would otherwise emit the same
+    subtree twice into every hop-0 root, doubling its pops per ray."""
+    scene, _ = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    a = build_partition(rows, W, 4, hot_entries=[1, 1, 2, 2, 1])
+    b = build_partition(rows, W, 4, hot_entries=[1, 2])
+    np.testing.assert_array_equal(a.tables, b.tables)
+    np.testing.assert_array_equal(a.steady_root, b.steady_root)
+    np.testing.assert_array_equal(a.num_rows, b.num_rows)
+
+
+def test_group_cap_repair():
+    """The two-level synthetic root caps a group at 64 - len(hot) steady
+    entries; the kd/LPT grouping balances by weight, not count, so a
+    skewed cut can overfill one group. _repair_group_caps must move the
+    smallest members to the emptiest groups instead of crashing, and
+    must raise only when the cap is genuinely infeasible."""
+    from gpupathtracer_tpu.bvh.partition import _repair_group_caps
+
+    sizes = {i: i + 1 for i in range(80)}
+    groups = [list(range(70)), list(range(70, 75)), list(range(75, 80))]
+    _repair_group_caps(groups, sizes, cap=30)
+    assert sorted(i for g in groups for i in g) == list(range(80))
+    assert all(len(g) <= 30 for g in groups)
+
+    with pytest.raises(ValueError, match="exceed"):
+        _repair_group_caps([list(range(10)), []], {i: 1 for i in range(10)},
+                           cap=4)
+
+
 def test_renderer_partition_mode():
     """cfg.partition_chips: the full Renderer surface (progressive
     accumulation, film, stats) over the scene-partitioned mesh —

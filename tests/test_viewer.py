@@ -71,3 +71,27 @@ def test_apply_keys_movement_and_reset():
     assert moved and reset and abs(c4.pitch - 0.1) < 1e-9
     c5, moved, reset = _apply_keys(c4, " ", 1.0, 0.1)
     assert (not moved) and reset and c5.position == c4.position
+
+
+def test_apply_keys_forward_matches_camera_ray():
+    """'w' must move the camera along the center-pixel primary-ray
+    direction at ANY yaw/pitch — yaw=0/pi have sin(yaw)=0 and cannot
+    see a sign error in the x/y components (the sponza default camera
+    is yaw=pi/2, where the old basis walked backward)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from gpupathtracer_tpu.config import CameraConfig
+    from gpupathtracer_tpu.math.camera import gen_rays, generate_image_plane
+    from gpupathtracer_tpu.render.viewer import _apply_keys
+
+    for yaw, pitch in [(math.pi / 2, -0.05), (0.7, 0.4), (-1.2, -0.3)]:
+        cam = CameraConfig(position=(1.0, 2.0, 3.0), yaw=yaw, pitch=pitch,
+                           aperture=0.0)
+        _, d = gen_rays(generate_image_plane(cam),
+                        jnp.array([[0.5, 0.5]]), jnp.array([[0.0, 0.0]]))
+        c2, _, _ = _apply_keys(cam, "w", 1.0, 0.1)
+        step = np.asarray(c2.position) - np.asarray(cam.position)
+        np.testing.assert_allclose(step / np.linalg.norm(step),
+                                   np.asarray(d[0]), atol=1e-6)
