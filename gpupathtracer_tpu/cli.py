@@ -66,6 +66,7 @@ def build_config(args) -> "RenderConfig":
     cfg.bounce_traversal = args.bounce_traversal
     cfg.partition_chips = args.partition_chips
     cfg.partition_samples = args.partition_samples
+    cfg.partition_routing = args.partition_routing
     cfg.mip_levels = args.mip_levels
     if args.chunk:
         cfg.ray_chunk = args.chunk
@@ -120,6 +121,10 @@ def main(argv=None) -> int:
                         "(parallel/partition.py); needs that many devices")
     p.add_argument("--partition-samples", type=int, default=1,
                    help="sample replicas composed over the partition")
+    p.add_argument("--partition-routing", default="ring",
+                   choices=["ring", "routed"],
+                   help="partitioned ray migration: static ppermute ring "
+                        "(default) or demand-routed all_to_all exchange")
     p.add_argument("--hdr-out", default=None,
                    help="also dump the raw mean-radiance film as .npy")
     p.add_argument("--stats-json", default=None,

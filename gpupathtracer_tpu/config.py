@@ -100,6 +100,9 @@ class RenderConfig:
     #                                        subtrees, rays ring via ppermute
     #                                        (parallel/partition.py); overrides mesh_shape
     partition_samples: int = 1             # sample replicas composed over the partition
+    partition_routing: str = "ring"        # ray migration: "ring" (static ppermute) or
+    #                                        "routed" (demand-routed all_to_all — rays hop
+    #                                        only to the chips they need)
     # Camera ---------------------------------------------------------------
     camera: CameraConfig = field(default_factory=CameraConfig)
     # Caching ----------------------------------------------------------------

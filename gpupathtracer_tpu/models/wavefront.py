@@ -68,6 +68,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        sampler: str = "random",
                        partition=None,
                        partition_axis: str = "",
+                       partition_routing: str = "ring",
                        num_chips: int = 0,
                        sample_idx=0):
     """Trace one sample for each pixel lane.
@@ -103,8 +104,11 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
         traversal = "partition"
         bounce_traversal = "same"
         sort_rays = False
-        from gpupathtracer_tpu.parallel.partition import \
-            trace_partitioned_local
+        from gpupathtracer_tpu.parallel.partition import (
+            trace_partitioned_local, trace_partitioned_routed)
+        _ptrace = (trace_partitioned_routed
+                   if partition_routing == "routed"
+                   else trace_partitioned_local)
         part_table, part_bounds = partition
 
     def g_alive_any(c):
@@ -230,7 +234,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             shared_inv = jnp.argsort(shared_perm).astype(jnp.int32)
         if partition is not None:
             from gpupathtracer_tpu.ops.traverse import Hit
-            tt_, pp_, uu_, vv_ = trace_partitioned_local(
+            tt_, pp_, uu_, vv_ = _ptrace(
                 part_table, part_bounds, c.o, c.d, t_max_full, c.alive,
                 axis_name=partition_axis, num_devices=num_chips,
                 stack_depth=stack_depth, leaf_size=leaf_size,
@@ -358,7 +362,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             # REUSES the bounce permutation — grouping for one
             # gather + scatter, no key/argsort.
             if partition is not None:
-                _, pp_s, _, _ = trace_partitioned_local(
+                _, pp_s, _, _ = _ptrace(
                     part_table, part_bounds, so, sd, st_, shadow_live,
                     axis_name=partition_axis, num_devices=num_chips,
                     stack_depth=stack_depth, leaf_size=leaf_size,

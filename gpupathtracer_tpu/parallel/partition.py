@@ -8,16 +8,27 @@ ray block against its local subtree, masked to rays whose slab entry into
 this chip's forest bounds is closer than their current best hit; after D
 hops every block is home with the globally closest hit.
 
-Why a ring instead of demand-driven all_to_all: static shapes and
-uniform per-hop bandwidth are what ICI wants (SURVEY.md §2.5, scaling-book
-recipe), and the treelet experiments measured any demand-dependent
-regrouping as overhead-bound (PERF.md). The pruning mask plays the role of
-near-first descent across chips: most rays are masked on most hops
-(measured mean ~2 candidate subtrees per incoherent ray at C=132).
+Two migration schemes, both static-shaped:
 
-Bandwidth per hop = 48 B/ray (o, d, t, prim, u, v, and the packed
-active/tmax lanes) * shard size; D-1 hops per traversal. Cost model in
-PERF.md §partitioned-traversal.
+- RING (trace_partitioned_local, the default): shards rotate via
+  ppermute, D hops; uniform per-hop bandwidth (48 B/ray * shard size *
+  (D-1) hops), the simplest thing ICI can possibly do. The pruning mask
+  plays the role of near-first descent across chips: most rays are
+  masked on most hops (measured V ~ 1.8 of 8 actual subtree visits per
+  incoherent ray). The dead weight — bytes and forced shard/chip barrier
+  alignment for the D-V masked hops — grows linearly with D.
+- DEMAND-ROUTED (trace_partitioned_routed): rays hop only to the chips
+  they still need, nearest-unvisited-first, via fixed [D, B] buckets and
+  one all_to_all per round; receiver capacity is credit-guaranteed (an
+  all_gather of free-slot counts), rays denied transport retry, so no
+  demand distribution can drop a ray. ~44 B * (V+1) per ray total and
+  ~V+2 barrier rounds instead of D. Unlike the measured-loss treelet
+  regrouping (PERF.md: XLA indexed-op floor ~30 ns/element on ONE chip's
+  hot path), the routed exchange's sort/gather glue runs once per
+  multi-chip hop on D-fold smaller shards, against kernel work that is
+  hundreds of times larger.
+
+Cost model + measured routing statistics in PERF.md §partitioned-traversal.
 
 Role in the reference: none — single GPU. This is the pod-scale design the
 dispatch grid (Renderer.cpp:660) cannot express.
@@ -195,6 +206,288 @@ def trace_partitioned_local(table, dev_bounds, o, d, t_max, active, *,
     return t, prim, u, v
 
 
+def _chip_slab(steady_b, o, d, t):
+    """Entry distance of every ray into every chip's steady forest.
+
+    Returns (tn [n, D] f32, enter [n, D] bool): slab entry t of ray i into
+    chip c's forest union, and whether the ray enters it closer than its
+    current best hit (the same prune the ring applies per hop,
+    trace_partitioned_local's `here` mask, vectorized over chips)."""
+    inv = _safe_inv(d)
+    lo = steady_b[None, :, 0:3]
+    hi = steady_b[None, :, 3:6]
+    t0 = (lo - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    enter = (tn <= tf) & (tf > 0.0) & (tn < t[:, None])
+    return tn, enter
+
+
+def trace_partitioned_routed(table, dev_bounds, o, d, t_max, active, *,
+                             axis_name: str, num_devices: int,
+                             stack_depth: int, leaf_size: int,
+                             packet_size: int = 2048,
+                             any_hit: bool = False,
+                             max_rounds: int | None = None,
+                             bucket_cap: int | None = None,
+                             with_stats: bool = False,
+                             interpret: bool = False):
+    """Demand-ROUTED partitioned traversal; call INSIDE shard_map.
+
+    The ring (trace_partitioned_local) rotates every shard through every
+    chip: N*44 B of ICI traffic per hop for D-1 hops, and each hop is a
+    barrier whose cost the rotation's forced shard/chip pairing sets.
+    Measured (PERF.md): an incoherent ray actually needs V ~= 1.8 of 8
+    subtree visits, so ~3/4 of the ring's bytes and barrier alignment is
+    dead weight that grows linearly with D.
+
+    This variant moves each ray ONLY to the chips it needs, nearest
+    unvisited subtree first (the cross-chip analogue of near-first
+    descent): per round, every resident ray picks argmin entry-t over the
+    unvisited chip forests it still enters closer than its current hit,
+    rays bucket by destination, and one `all_to_all` exchanges the
+    buckets. Receiver capacity is guaranteed by a per-round credit
+    (free-slot counts are all_gathered; each sender may send at most
+    free_c // D rays to chip c), so no ray is ever dropped; rays denied
+    transport retry the next round. Finished rays route home and deliver
+    their hit payload into the slot-stable output.
+
+    ICI bytes become ~44 B * (visits beyond home + 1) per ray instead of
+    44 * (D-1); rounds (each one all_to_all barrier + one local service)
+    replace D ppermute hops. Shapes are static throughout: resident
+    arrays have capacity NR = n + D*B, exchanges are [D, B] buckets.
+
+    Args mirror trace_partitioned_local; additionally
+      max_rounds: unrolled round count (default D + 2). Rays still
+        undelivered after the last round keep their best-so-far hit in
+        the output and are counted in stats row 3 (truncation is
+        detectable, never silent).
+      bucket_cap: per-destination bucket size B (default ceil(n / D)
+        rounded up to a multiple of 8, so D*B >= n — one round can
+        offload a whole shard).
+    Returns (t, prim, u, v) for the rays that STARTED on this chip; with
+    with_stats also a [4, R+1] i32 row: per-round kernel pops (col 0 =
+    the home hop), rays transported, rays delivered, rays still in
+    flight at round end.
+    """
+    D = num_devices
+    assert D <= 32, "visited bitmask is uint32"
+    me = jax.lax.axis_index(axis_name)
+    n = o.shape[0]
+    R = max_rounds if max_rounds is not None else D + 2
+    B = bucket_cap if bucket_cap is not None else -((-n) // D)
+    B = max(8, -((-B) // 8) * 8)
+    NR = n + D * B
+    DB = D * B
+
+    if isinstance(dev_bounds, RouteInfo):
+        steady_b, hop0_b, sroot = dev_bounds
+    else:
+        steady_b = hop0_b = dev_bounds
+        sroot = None
+
+    # --- home hop: serve the resident shard against the hop-0 root
+    # (steady members + replicated hot subtrees), identical to the ring's
+    # step 0. Every later service uses the steady root and the steady
+    # forest bounds, so the visited bit c means "chip c's steady forest
+    # served or provably unneeded".
+    t = t_max.astype(jnp.float32)
+    inv = _safe_inv(d)
+    lo0 = hop0_b[me, 0:3][None, :]
+    hi0 = hop0_b[me, 3:6][None, :]
+    t0_ = (lo0 - o) * inv
+    t1_ = (hi0 - o) * inv
+    tn0 = jnp.max(jnp.minimum(t0_, t1_), axis=-1)
+    tf0 = jnp.min(jnp.maximum(t0_, t1_), axis=-1)
+    here0 = (tn0 <= tf0) & (tf0 > 0.0) & (tn0 < t) & active
+    tt, pp, uu, vv, pops0 = _local_trace(
+        table, o, d, t, here0, stack_depth=stack_depth,
+        leaf_size=leaf_size, packet_size=packet_size, any_hit=any_hit,
+        interpret=interpret, root=None, with_pops=True)
+    better = here0 & (pp >= 0) & (tt < t)
+    out_t = jnp.where(better, tt, t)
+    out_prim = jnp.where(better, pp, jnp.full((n,), -1, jnp.int32))
+    out_u = jnp.where(better, uu, 0.0)
+    out_v = jnp.where(better, vv, 0.0)
+
+    # Resident state, capacity NR; slots [0, n) start as the home rays.
+    pad = NR - n
+
+    def _pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    res = {
+        "o": _pad(o), "d": _pad(d, 1.0), "t": _pad(out_t, jnp.inf),
+        "u": _pad(out_u), "v": _pad(out_v),
+        "prim": _pad(out_prim, -1),
+        "home": _pad(me * n + jnp.arange(n, dtype=jnp.int32), 0),
+        "visited": _pad(
+            jnp.full((n,), jnp.uint32(1) << me.astype(jnp.uint32),
+                     jnp.uint32), 0),
+    }
+    done0 = (~active) | (any_hit & (out_prim >= 0))
+    tn_all, enter_all = _chip_slab(steady_b, res["o"], res["d"], res["t"])
+    unvisited = ((res["visited"][:, None]
+                  >> jnp.arange(D, dtype=jnp.uint32)[None, :]) & 1) == 0
+    pending0 = jnp.any(enter_all & unvisited, axis=1)[:n] & ~done0
+    act = jnp.concatenate([pending0, jnp.zeros((pad,), bool)])
+
+    pops_hist = [pops0]
+    sent_hist = [jnp.zeros((), jnp.int32)]
+    dlvr_hist = [jnp.sum(~pending0 & active, dtype=jnp.int32)]
+    live_hist = [jnp.sum(act, dtype=jnp.int32)]
+
+    b_idx = jnp.arange(B, dtype=jnp.int32)
+
+    for _ in range(R):
+        # (a) route: nearest unvisited needed chip, else home.
+        tn_all, enter_all = _chip_slab(steady_b, res["o"], res["d"],
+                                       res["t"])
+        unvisited = ((res["visited"][:, None]
+                      >> jnp.arange(D, dtype=jnp.uint32)[None, :]) & 1) == 0
+        cand = enter_all & unvisited
+        if any_hit:
+            cand = cand & (res["prim"] < 0)[:, None]
+        key_t = jnp.where(cand, tn_all, jnp.inf)
+        nxt = jnp.argmin(key_t, axis=1).astype(jnp.int32)
+        seek = jnp.isfinite(jnp.min(key_t, axis=1)) & act
+        home_chip = res["home"] // n
+        home_local = res["home"] % n
+        dest = jnp.where(seek, nxt, home_chip)
+
+        # Deliver in place: finished rays already home leave now.
+        in_place = act & ~seek & (home_chip == me)
+        idx_ip = jnp.where(in_place, home_local, n)
+        out_t = _deliver(out_t, idx_ip, res["t"], in_place, n)
+        out_prim = _deliver(out_prim, idx_ip, res["prim"], in_place, n)
+        out_u = _deliver(out_u, idx_ip, res["u"], in_place, n)
+        out_v = _deliver(out_v, idx_ip, res["v"], in_place, n)
+        act = act & ~in_place
+
+        transport = act & (dest != me)
+
+        # (b) credit: every sender may place at most free_c // D seeking
+        # rays on chip c this round (home deliveries bypass slots and are
+        # only bucket-bounded), so merges can never overflow.
+        free_cnt = jnp.int32(NR) - jnp.sum(act, dtype=jnp.int32)
+        free_all = jax.lax.all_gather(free_cnt, axis_name)  # [D]
+        credit = jnp.minimum(free_all // D, B).astype(jnp.int32)
+
+        # (c) bucket by (dest, kind): within a destination group the
+        # home-bound rays sort first (kind 0) — they never consume slot
+        # credit. Rank-in-group via the sorted order; everything below is
+        # gathers off one argsort (house rule: no scatters).
+        kind = seek.astype(jnp.int32)  # 0 = going home, 1 = seeking
+        key = jnp.where(transport, dest * 2 + kind, 2 * D)
+        order = jnp.argsort(key)
+        skey = key[order]
+        edges = jnp.searchsorted(skey, jnp.arange(2 * D + 1))
+        cnt_home = (edges[1::2] - edges[0:-1:2]).astype(jnp.int32)   # [D]
+        cnt_seek = (edges[2::2] - edges[1::2]).astype(jnp.int32)     # [D]
+        grant_home = jnp.minimum(cnt_home, B)
+        grant_seek = jnp.minimum(jnp.minimum(cnt_seek, credit),
+                                 B - grant_home)
+        # Send slot (c, b): the b-th transport ray of dest group c in
+        # sorted order; valid while b < grant_home + grant_seek, except
+        # seeking rays beyond grant_home + grant_seek are denied (they
+        # sort after the home-bound block, so one prefix test suffices).
+        g0 = edges[0:-1:2].astype(jnp.int32)                         # [D]
+        gslot = g0[:, None] + b_idx[None, :]                         # [D,B]
+        valid_send = b_idx[None, :] < (grant_home + grant_seek)[:, None]
+        sid = order[jnp.clip(gslot, 0, NR - 1)]                      # [D,B]
+        # Sent mask back on resident slots: position p in sorted order is
+        # sent iff p - group_start < grant (inverse-perm GATHER).
+        k_sorted = jnp.clip(skey, 0, 2 * D - 1)
+        c_sorted = k_sorted // 2
+        rank = jnp.arange(NR, dtype=jnp.int32) - g0[c_sorted]
+        sent_sorted = (skey < 2 * D) & (
+            rank < (grant_home + grant_seek)[c_sorted])
+        inv_order = jnp.argsort(order)
+        sent = sent_sorted[inv_order]
+        act = act & ~sent
+
+        # (d) exchange: one all_to_all of the [D, B] buckets per field.
+        send = {k: res[k][sid] for k in res}
+        send["valid"] = valid_send
+        send["seek"] = seek[sid] & valid_send
+        recv = jax.tree.map(
+            lambda x: jax.lax.all_to_all(x, axis_name, 0, 0), send)
+
+        # (e) arrivals going home deliver straight into the output.
+        rflat = {k: v.reshape((DB,) + v.shape[2:]) for k, v in recv.items()}
+        dely = rflat["valid"] & ~rflat["seek"]
+        r_home_local = rflat["home"] % n
+        idx_d = jnp.where(dely, r_home_local, n)
+        out_t = _deliver(out_t, idx_d, rflat["t"], dely, n)
+        out_prim = _deliver(out_prim, idx_d, rflat["prim"], dely, n)
+        out_u = _deliver(out_u, idx_d, rflat["u"], dely, n)
+        out_v = _deliver(out_v, idx_d, rflat["v"], dely, n)
+
+        # (f) merge seeking arrivals into free slots (gather-based: the
+        # k-th valid arrival fills the k-th free slot).
+        mv = rflat["valid"] & rflat["seek"]
+        rorder = jnp.argsort(~mv)                      # valid first
+        n_arr = jnp.sum(mv, dtype=jnp.int32)
+        forder = jnp.argsort(act)                      # free slots first
+        invf = jnp.argsort(forder)                     # slot -> free rank
+        take = (~act) & (invf < n_arr)
+        arr_idx = rorder[jnp.clip(invf, 0, DB - 1)]
+        for kf in ("o", "d", "t", "u", "v", "prim", "home", "visited"):
+            src = rflat[kf][arr_idx]
+            keep = res[kf]
+            m = take.reshape((NR,) + (1,) * (keep.ndim - 1))
+            res[kf] = jnp.where(m, src, keep)
+        act = act | take
+
+        # (g) service: every resident ray that still needs THIS chip's
+        # steady forest (fresh arrivals and credit-denied stayers alike).
+        root = None if sroot is None else sroot[me]
+        tn_me, enter_me = _chip_slab(steady_b[me][None], res["o"],
+                                     res["d"], res["t"])
+        my_bit = (res["visited"] >> me.astype(jnp.uint32)) & 1
+        here = act & enter_me[:, 0] & (my_bit == 0)
+        if any_hit:
+            here = here & (res["prim"] < 0)
+        tt, pp, uu, vv, pops_r = _local_trace(
+            table, res["o"], res["d"], res["t"], here,
+            stack_depth=stack_depth, leaf_size=leaf_size,
+            packet_size=packet_size, any_hit=any_hit,
+            interpret=interpret, root=root, with_pops=True)
+        better = here & (pp >= 0) & (tt < res["t"])
+        res["t"] = jnp.where(better, tt, res["t"])
+        res["prim"] = jnp.where(better, pp, res["prim"])
+        res["u"] = jnp.where(better, uu, res["u"])
+        res["v"] = jnp.where(better, vv, res["v"])
+        res["visited"] = res["visited"] | jnp.where(
+            here, jnp.uint32(1) << me.astype(jnp.uint32), jnp.uint32(0))
+
+        pops_hist.append(pops_r)
+        sent_hist.append(jnp.sum(valid_send, dtype=jnp.int32))
+        dlvr_hist.append(jnp.sum(in_place, dtype=jnp.int32)
+                         + jnp.sum(dely, dtype=jnp.int32))
+        live_hist.append(jnp.sum(act, dtype=jnp.int32))
+
+    if with_stats:
+        stats = jnp.stack([
+            jnp.stack([p.astype(jnp.int32) for p in pops_hist]),
+            jnp.stack(sent_hist), jnp.stack(dlvr_hist),
+            jnp.stack(live_hist)])
+        return out_t, out_prim, out_u, out_v, stats
+    return out_t, out_prim, out_u, out_v
+
+
+def _deliver(out, idx, payload, mask, n):
+    """Scatter `payload[mask]` into out[idx]; masked lanes aim at the
+    sentinel slot n (one pad lane, sliced off). One scatter per delivered
+    ray per traversal — amortized, unlike the per-pop paths where
+    scatters are banned (PERF.md XLA op costs)."""
+    pad = jnp.concatenate([out, jnp.zeros((1,), out.dtype)])
+    return pad.at[idx].set(jnp.where(mask, payload, 0).astype(out.dtype),
+                           mode="drop")[:n]
+
+
 def strip_scene_bvh(scene):
     """Scene pytree for the partitioned render step: the merged BVH table
     is NOT replicated (that is the point — each chip holds only its
@@ -273,13 +566,20 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
                               any_hit: bool = False,
                               with_stats: bool = False,
                               axis: str = "chips",
+                              routing: str = "ring",
+                              max_rounds: int | None = None,
+                              bucket_cap: int | None = None,
                               interpret: bool | None = None):
     """shard_map wrapper: full [N] rays in, full [N] Hit out (N must divide
-    the chips axis). with_stats additionally returns a [D, 3, D] i32 array
-    of per-(SERVING-chip, hop) routed/improved ray counts and kernel pops:
-    row c holds chip c's counters over the shards resident on it each hop
-    (the shard that originated on chip (c - hop) mod D), which is the
-    per-chip LOAD convention tools/partition_bench.py reports."""
+    the chips axis). with_stats additionally returns per-chip counters:
+    routing="ring" gives a [D, 3, D] i32 array of per-(SERVING-chip, hop)
+    routed/improved ray counts and kernel pops — row c holds chip c's
+    counters over the shards resident on it each hop (the shard that
+    originated on chip (c - hop) mod D), the per-chip LOAD convention
+    tools/partition_bench.py reports; routing="routed" (demand-routed
+    all_to_all exchange, trace_partitioned_routed) gives [D, 4, R+1]:
+    per-(chip, round) kernel pops, rays transported, rays delivered, and
+    rays still in flight (column 0 is the home hop)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     D = mesh.shape[axis]
@@ -290,14 +590,24 @@ def trace_closest_partitioned(mesh: Mesh, tables, dev_bounds, o, d, t_max,
              out_specs=(P(axis),) * 4 + n_stats,
              check_vma=False)
     def run(table, bounds, o_l, d_l, tm_l, act_l):
-        out = trace_partitioned_local(
-            table[0], bounds, o_l, d_l, tm_l, act_l, axis_name=axis,
-            num_devices=D, stack_depth=stack_depth, leaf_size=leaf_size,
-            packet_size=packet_size, any_hit=any_hit,
-            with_stats=with_stats, interpret=interpret)
+        if routing == "routed":
+            out = trace_partitioned_routed(
+                table[0], bounds, o_l, d_l, tm_l, act_l, axis_name=axis,
+                num_devices=D, stack_depth=stack_depth,
+                leaf_size=leaf_size, packet_size=packet_size,
+                any_hit=any_hit, max_rounds=max_rounds,
+                bucket_cap=bucket_cap, with_stats=with_stats,
+                interpret=interpret)
+        else:
+            out = trace_partitioned_local(
+                table[0], bounds, o_l, d_l, tm_l, act_l, axis_name=axis,
+                num_devices=D, stack_depth=stack_depth,
+                leaf_size=leaf_size, packet_size=packet_size,
+                any_hit=any_hit, with_stats=with_stats,
+                interpret=interpret)
         if with_stats:
             t_, p_, u_, v_, cnt = out
-            return t_, p_, u_, v_, cnt[None]  # [1, 3, D] -> gathers to [D, 3, D]
+            return t_, p_, u_, v_, cnt[None]  # [1, ...] -> gathers per chip
         return out
 
     out = run(tables, dev_bounds, o, d, t_max, active)

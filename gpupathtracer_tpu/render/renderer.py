@@ -221,6 +221,7 @@ class Renderer:
                 textured=self.meta.has_textures,
                 mips=self.meta.mip_levels > 1, sun=self.cfg.sun_enabled,
                 sun_mode=self.cfg.sun_mode, nee=self.cfg.nee_enabled,
+                partition_routing=self.cfg.partition_routing,
                 delta=getattr(self.meta, "has_delta", False))
         from gpupathtracer_tpu.parallel import render_sample_sharded
         return render_sample_sharded(

@@ -223,6 +223,14 @@ def test_partitioned_render_step(bunny):
                                       cam, px, py, key, **static)
     np.testing.assert_array_equal(c, np.asarray(c2))
 
+    # Demand-routed migration produces the SAME frame bit for bit: the
+    # routed trace returns identical hits (see the trace-level tests), so
+    # the whole estimator — RNG, shading, NEE — is unchanged.
+    c3, _ = render_sample_partitioned(mesh, tables, dev_bounds, scene,
+                                      cam, px, py, key,
+                                      partition_routing="routed", **static)
+    np.testing.assert_array_equal(c, np.asarray(c3))
+
 
 def test_partitioned_render_with_samples_axis(bunny):
     """(samples, chips) composition: data-parallel sample replicas over
@@ -522,3 +530,80 @@ def test_partitioned_trace_ici_contract(bunny):
            if re.search(r"all-reduce|all-gather|all-to-all|reduce-scatter",
                         ln)]
     assert not bad, f"unexpected collectives in the trace: {bad[:3]}"
+
+
+def test_routed_trace_matches_ring(bunny):
+    """Demand-routed exchange (trace_partitioned_routed) returns the SAME
+    hits as the ring: a chip is skipped only when the ray's entry t into
+    its forest is >= the final hit t, which cannot contribute, so t is
+    bitwise-identical (same kernel, same table, same ray on the owning
+    chip). Stats invariants: every ray delivered, pops concentrated in
+    the early rounds, transported counts bounded by the bucket budget."""
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 8)  # replicate_hot default
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    tables, route = shard_partition(part, mesh)
+
+    N = 1024
+    rng = np.random.RandomState(11)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = jnp.asarray(rng.rand(N) > 0.1)
+    kw = dict(stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+              packet_size=128)
+
+    ring = trace_closest_partitioned(mesh, tables, route, o, d, tmax,
+                                     act, **kw)
+    routed, stats = trace_closest_partitioned(
+        mesh, tables, route, o, d, tmax, act, routing="routed",
+        max_rounds=10, with_stats=True, **kw)
+
+    s_pre = np.asarray(stats)
+    assert int(s_pre[:, 3, -1].sum()) == 0, \
+        "undelivered rays after max_rounds (truncation)"
+    np.testing.assert_array_equal(np.asarray(routed.t), np.asarray(ring.t))
+    same = np.asarray(routed.prim) == np.asarray(ring.prim)
+    assert (same | np.isclose(np.asarray(routed.t), np.asarray(ring.t),
+                              rtol=1e-6, atol=1e-6)).all()
+
+    s = np.asarray(stats)                 # [D, 4, R+1]
+    assert s.shape == (8, 4, 11)
+    pops, sent, dlvr, live = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    n_act = int(np.asarray(act).sum())
+    assert int(dlvr.sum()) == n_act       # every active ray delivered once
+    assert pops.sum() > 0 and pops[:, 0].sum() >= pops[:, -1].sum()
+    assert (sent >= 0).all()
+
+
+def test_routed_occlusion_matches_ring(bunny):
+    scene, meta = bunny
+    rows = np.asarray(scene.bvh.node_rows)
+    W = scene.bvh.child_bounds.shape[0]
+    part = build_partition(rows, W, 8)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    tables, route = shard_partition(part, mesh)
+
+    N = 1024
+    rng = np.random.RandomState(13)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((N,), 4.0, jnp.float32)
+    act = jnp.ones((N,), bool)
+    kw = dict(stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+              packet_size=128, any_hit=True)
+
+    occ_ring = trace_closest_partitioned(mesh, tables, route, o, d, tmax,
+                                         act, **kw)
+    occ_routed, stats = trace_closest_partitioned(
+        mesh, tables, route, o, d, tmax, act, routing="routed",
+        max_rounds=10, with_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(occ_routed),
+                                  np.asarray(occ_ring))
+    assert int(np.asarray(stats)[:, 3, -1].sum()) == 0

@@ -48,6 +48,20 @@ def main():
                          "camera primaries, a 50/50 mix — or 'pilot': "
                          "POPS-ATTRIBUTED per-lane node-visit counts of "
                          "the 50/50 pilot batch (sees traversal depth)")
+    ap.add_argument("--routing", default="ring",
+                    choices=["ring", "routed"],
+                    help="ray-migration scheme: static ppermute ring "
+                         "(default) or demand-routed all_to_all exchange "
+                         "(rays hop only to chips they need)")
+    ap.add_argument("--rounds", type=int, default=None,
+                    help="routed mode: unrolled exchange rounds "
+                         "(default chips + 2)")
+    ap.add_argument("--bucket-cap", type=int, default=None,
+                    help="routed mode: per-destination bucket size B "
+                         "(default ceil(n_shard / chips))")
+    ap.add_argument("--populations", default="all",
+                    help="comma list of configs to run: coherent, deal, "
+                         "incoherent, anyhit (default all)")
     ap.add_argument("--baseline", action="store_true",
                     help="also trace the replicated WHOLE tree (single "
                          "chip, same kernel/packets) and report its "
@@ -162,8 +176,11 @@ def main():
         out = trace_closest_partitioned(
             mesh, tables, dev_bounds, o, d, tm, act,
             stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
-            any_hit=any_hit, with_stats=True)
+            any_hit=any_hit, with_stats=True, routing=args.routing,
+            max_rounds=args.rounds, bucket_cap=args.bucket_cap)
         _, stats = out
+        if args.routing == "routed":
+            return run_routed_report(tag, stats, m)
         s = np.asarray(stats)          # [D_chip, 3, D_hop]
         routed, improved, pops = s[:, 0, :], s[:, 1, :], s[:, 2, :]
         per_chip = routed.sum(1)       # total routed rays per chip
@@ -192,6 +209,38 @@ def main():
         print(f"   per-hop routed : {per_hop.tolist()}", flush=True)
         return v, imb
 
+    def run_routed_report(tag, stats, m):
+        """Routed-mode stats: [D, 4, R+1] per-(chip, round) pops /
+        transported / delivered / live-at-end (col 0 = home hop). The
+        wall proxy stays sum-over-rounds of max-over-chips pops (each
+        all_to_all is the barrier the ppermute hop was)."""
+        s = np.asarray(stats)
+        pops, sent = s[:, 0, :], s[:, 1, :]
+        dlvr, live = s[:, 2, :], s[:, 3, :]
+        undeliv = int(live[:, -1].sum())
+        used = int(max(np.nonzero(pops.sum(0) + sent.sum(0))[0], default=0)) + 1
+        pbar = pops.max(0).sum()
+        pideal = pops.sum() / pops.shape[0]
+        n_shard = m // D
+        B = args.bucket_cap or -((-n_shard) // D)
+        B = max(8, -((-B) // 8) * 8)
+        useful_mb = sent.sum() * 52 / 1e6
+        bucket_mb = (used - 1) * D * D * B * 52 / 1e6
+        ring_mb = m * 44 * (D - 1) / 1e6
+        print(f"{tag}: pops/ray = {pops.sum()/m:.2f}, pops barrier/ideal "
+              f"= {pbar/max(pideal, 1e-9):.2f}, wall proxy (max pops/"
+              f"round summed)/ray = {pbar/m:.2f}", flush=True)
+        print(f"   rounds used = {used-1} of {pops.shape[1]-1}, "
+              f"transported/ray = {sent.sum()/m:.2f}, undelivered = "
+              f"{undeliv}", flush=True)
+        print(f"   ICI bytes: useful {useful_mb:.2f} MB, bucket-padded "
+              f"{bucket_mb:.2f} MB vs ring {ring_mb:.2f} MB", flush=True)
+        print(f"   per-chip pops  : {pops.sum(1).tolist()}", flush=True)
+        print(f"   per-round pops : {pops.sum(0).tolist()}", flush=True)
+        print(f"   per-round sent : {sent.sum(0).tolist()}", flush=True)
+        print(f"   per-round dlvr : {dlvr.sum(0).tolist()}", flush=True)
+        return pops.sum() / m, pbar / max(pideal, 1e-9)
+
     def run_whole(tag, o, d, m, any_hit, tmax=None):
         """Replicated whole-tree pops/ray — same kernel, same 2048-ray
         packets, one 'chip': the single-table work the partition is
@@ -211,22 +260,29 @@ def main():
         print(f"{tag} WHOLE-TREE: pops/ray = {pops/m2:.2f} "
               f"({m2} rays, table {rows.shape[0]} rows)", flush=True)
 
-    run("coherent  closest", o_c, d_c, nc, False)
-    # Pixel->chip assignment A/B for the coherent population: the per-hop
-    # barrier follows the RAYS (which image region does deep work), not
-    # the subtree ownership — hot replication measured invariant on it.
-    # "deal" hands every D-th pixel (in raster or Morton order) to the
-    # same chip: each chip's shard mixes sky and geometry, trading
-    # within-packet coherence for barrier balance.
-    from gpupathtracer_tpu.utils.morton import ray_order
-    deal = np.argsort(np.arange(nc) % D, kind="stable")
-    run("coherent  closest [deal]", o_c[deal], d_c[deal], nc, False)
-    mo = ray_order(side, side, "morton")
-    mdeal = mo[np.argsort(np.arange(nc) % D, kind="stable")]
-    run("coherent  closest [morton-deal]", o_c[mdeal], d_c[mdeal], nc,
-        False)
-    run("incoherent closest", o_i, d_i, n, False)
-    run("incoherent any-hit (tmax=20)", o_i, d_i, n, True, tmax=20.0)
+    pops_sel = (set(args.populations.split(","))
+                if args.populations != "all"
+                else {"coherent", "deal", "incoherent", "anyhit"})
+    if "coherent" in pops_sel:
+        run("coherent  closest", o_c, d_c, nc, False)
+    if "deal" in pops_sel:
+        # Pixel->chip assignment A/B for the coherent population: the
+        # per-hop barrier follows the RAYS (which image region does deep
+        # work), not the subtree ownership — hot replication measured
+        # invariant on it. "deal" hands every D-th pixel (in raster or
+        # Morton order) to the same chip: each chip's shard mixes sky and
+        # geometry, trading within-packet coherence for barrier balance.
+        from gpupathtracer_tpu.utils.morton import ray_order
+        deal = np.argsort(np.arange(nc) % D, kind="stable")
+        run("coherent  closest [deal]", o_c[deal], d_c[deal], nc, False)
+        mo = ray_order(side, side, "morton")
+        mdeal = mo[np.argsort(np.arange(nc) % D, kind="stable")]
+        run("coherent  closest [morton-deal]", o_c[mdeal], d_c[mdeal], nc,
+            False)
+    if "incoherent" in pops_sel:
+        run("incoherent closest", o_i, d_i, n, False)
+    if "anyhit" in pops_sel:
+        run("incoherent any-hit (tmax=20)", o_i, d_i, n, True, tmax=20.0)
     if args.baseline:
         run_whole("coherent  closest", o_c, d_c, nc, False)
         run_whole("incoherent closest", o_i, d_i, n, False)
