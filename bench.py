@@ -75,18 +75,29 @@ def main() -> None:
     # sessions 7/9); recording the RTT makes every number below
     # interpretable against the healthy-session baseline (~1-3 ms).
     import jax.numpy as jnp
-    x = jnp.ones((8,), jnp.float32)
-    float(jnp.sum(x))  # compile + first transfer outside the probe
-    rtts = []
-    for _ in range(10):
-        t0 = time.time()
-        float(jnp.sum(x))
-        rtts.append(time.time() - t0)
-    rtts.sort()
-    extra["tunnel_rtt_ms"] = round(rtts[len(rtts) // 2] * 1e3, 2)
-    print(f"# tunnel probe: median readback RTT {extra['tunnel_rtt_ms']} ms "
-          f"(min {rtts[0]*1e3:.2f}, max {rtts[-1]*1e3:.2f})",
-          file=sys.stderr)
+
+    def _probe_rtt():
+        x = jnp.ones((8,), jnp.float32)
+        float(jnp.sum(x))  # compile + first transfer outside the probe
+        rtts = []
+        for _ in range(10):
+            t0 = time.time()
+            float(jnp.sum(x))
+            rtts.append(time.time() - t0)
+        rtts.sort()
+        return rtts[len(rtts) // 2] * 1e3, rtts[0] * 1e3, rtts[-1] * 1e3
+
+    def _verdict(rtt_ms):
+        # Thresholds from tools/tunnel_probe.py: healthy sessions read
+        # 1-3 ms; degraded windows read ~25-30 ms and depress wall-clock
+        # numbers 3-10x (PERF.md session 9 record).
+        return "OK" if rtt_ms < 8.0 else "DEGRADED"
+
+    med, lo, hi = _probe_rtt()
+    extra["tunnel_rtt_ms"] = round(med, 2)
+    print(f"# tunnel probe: {_verdict(med)} — median readback RTT "
+          f"{extra['tunnel_rtt_ms']} ms (min {lo:.2f}, max {hi:.2f}; "
+          f"healthy 1-3 ms)", file=sys.stderr)
 
     # The FPS configs run FIRST: the tunnel develops measurable
     # backpressure under sustained heavy traffic (table direct measured
@@ -256,11 +267,27 @@ def main() -> None:
               file=sys.stderr)
         extra["bathroom_1024spp_720p_s"] = round(bath_full_s, 1)
 
+    # Exit probe: tunnel weather can change mid-run; a bench is flagged
+    # degraded if EITHER probe is, so cross-round comparisons never
+    # mistake tunnel weather for code regressions (VERDICT r3 weak #7).
+    med2, lo2, hi2 = _probe_rtt()
+    extra["tunnel_rtt_ms_end"] = round(med2, 2)
+    degraded = (_verdict(med) != "OK") or (_verdict(med2) != "OK")
+    extra["degraded"] = degraded
+    print(f"# exit probe: {_verdict(med2)} — median RTT {med2:.2f} ms; "
+          f"bench degraded flag: {degraded}", file=sys.stderr)
+    if degraded:
+        print("# WARNING: tunnel degraded during this bench — wall-clock "
+              "numbers (especially small-frame fps rows) are lower bounds; "
+              "compare against a healthy-session run before trusting "
+              "deltas.", file=sys.stderr)
+
     print(json.dumps({
         "metric": "mrays_per_sec_sponza_1080p",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "degraded": degraded,
         "extra": extra,
     }))
 

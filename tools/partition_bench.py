@@ -11,23 +11,39 @@ MEASURES instead of assumes, on a real scene with D=8 virtual devices:
     input — the slowest chip gates each hop's barrier).
 
 Runs coherent (camera) and incoherent (random) ray populations, closest
-and any-hit. CPU-only; no TPU needed.
+and any-hit. CPU-only by default; no TPU needed.
 
 Usage: python tools/partition_bench.py [--scene proc:sponza] [--n 65536]
+
+--hardware: the one-command REAL-ICI banking path (VERDICT r3 #8). Runs
+the same partition on the real devices jax exposes (a v5e-8 the day one
+is attached; today's 1-chip tunnel image runs D=1 as a smoke test and
+says so), adds wall-clock timing (median of >= 3 back-to-back reps,
+host-readback synced per the PERF.md protocol), and measures the per-hop
+barrier floor directly: a ring traversal whose rays are all DEAD routes
+nothing and pops nothing, so its wall is (D-1) hop barriers + dispatch —
+the number the ~0.5 ms/hop paper model guesses at. Record the output
+next to the CPU-mesh pop counters in PERF.md; the modeled multi-chip
+frame composition becomes a measurement the moment this runs on >1 chip.
 """
 import argparse
 import math
 import os
+import statistics
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
+_HW = "--hardware" in sys.argv
+if not _HW:
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +83,13 @@ def main():
                          "chip, same kernel/packets) and report its "
                          "pops/ray — the denominator of the modeled "
                          "multi-chip compute win")
+    ap.add_argument("--hardware", action="store_true",
+                    help="run on the real devices jax exposes (no CPU "
+                         "forcing, no virtual mesh) and add wall-clock "
+                         "timing + a measured per-hop barrier floor — "
+                         "the real-ICI banking path (see module doc)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="--hardware: timed repetitions per config")
     args = ap.parse_args()
 
     from gpupathtracer_tpu.bvh.partition import build_partition
@@ -155,6 +178,17 @@ def main():
               f"visits {counts[hot_entries].tolist()} of "
               f"{counts.sum()} total", flush=True)
 
+    if args.hardware:
+        avail = len(jax.devices())
+        if avail < D:
+            print(f"# --hardware: only {avail} real device(s) present "
+                  f"(asked for {D}); running D={avail}. Multi-chip "
+                  f"banking needs a real v5e-{D} — today's numbers are "
+                  f"the single-chip smoke of the same command.",
+                  flush=True)
+            D = max(avail, 1)
+        print(f"# --hardware: devices = {jax.devices()[:D]}", flush=True)
+
     part = build_partition(rows, scene.bvh.child_bounds.shape[0], D,
                            grouping=args.grouping,
                            replicate_hot=args.replicate_hot,
@@ -169,6 +203,30 @@ def main():
           f"hot_demand={args.hot_demand}; "
           f"live rows/chip={part.num_rows.tolist()}", flush=True)
 
+    def _timed(o, d, tm, act, any_hit, tag=""):
+        """--hardware wall clock: warm once, then median of --reps
+        back-to-back calls, each completed by a host readback (PERF.md:
+        block_until_ready does not block through the tunnel)."""
+        def call():
+            hit, _ = trace_closest_partitioned(
+                mesh, tables, dev_bounds, o, d, tm, act,
+                stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
+                any_hit=any_hit, with_stats=True, routing=args.routing,
+                max_rounds=args.rounds, bucket_cap=args.bucket_cap)
+            return float(jnp.sum(hit[0]))
+        call()  # warm/compile
+        ts = []
+        for _ in range(max(args.reps, 1)):
+            t0 = time.time()
+            call()
+            ts.append(time.time() - t0)
+        med = statistics.median(ts)
+        spread = (max(ts) - min(ts)) / med if med else 0.0
+        print(f"   WALL {tag}: {med*1e3:.2f} ms/traversal (spread "
+              f"{spread:.0%}, reps {len(ts)}), "
+              f"{len(act)/med/1e6:.2f} Mrays/s", flush=True)
+        return med
+
     def run(tag, o, d, m, any_hit, tmax=None):
         tm = (jnp.full((m,), 1e20, jnp.float32) if tmax is None
               else jnp.full((m,), tmax, jnp.float32))
@@ -179,6 +237,8 @@ def main():
             any_hit=any_hit, with_stats=True, routing=args.routing,
             max_rounds=args.rounds, bucket_cap=args.bucket_cap)
         _, stats = out
+        if args.hardware:
+            _timed(o, d, tm, act, any_hit, tag=tag)
         if args.routing == "routed":
             return run_routed_report(tag, stats, m)
         s = np.asarray(stats)          # [D_chip, 3, D_hop]
@@ -254,7 +314,8 @@ def main():
             d[:m2].reshape(-1, K, 3), tm.reshape(-1, K),
             jnp.ones((m2 // K, K), bool),
             stack_depth=meta.stack_depth, leaf_size=meta.leaf_size,
-            any_hit=any_hit, ordered=not any_hit, interpret=True,
+            any_hit=any_hit, ordered=not any_hit,
+            interpret=jax.default_backend() != "tpu",
             with_stats=True)
         pops = int(np.asarray(out[4])[:, :2].sum())
         print(f"{tag} WHOLE-TREE: pops/ray = {pops/m2:.2f} "
@@ -288,6 +349,24 @@ def main():
         run_whole("incoherent closest", o_i, d_i, n, False)
         run_whole("incoherent any-hit (tmax=20)", o_i, d_i, n, True,
                   tmax=20.0)
+
+    if args.hardware:
+        # Per-hop barrier floor: an all-DEAD wavefront routes nothing and
+        # pops nothing, so the ring traversal's wall clock is (D-1) hop
+        # barriers + per-hop dispatch — the term the PERF.md ICI model
+        # prices at ~0.5 ms/hop from paper bandwidth numbers. With real
+        # >1-chip ICI this banks the model's weakest assumption.
+        m = min(args.n, 65536) // D * D
+        o0 = jnp.zeros((m, 3), jnp.float32)
+        d0 = jnp.zeros((m, 3), jnp.float32).at[:, 0].set(1.0)
+        tm0 = jnp.zeros((m,), jnp.float32)
+        act0 = jnp.zeros((m,), bool)
+        wall = _timed(o0, d0, tm0, act0, False, tag="all-dead hop floor")
+        hops = max(D - 1, 1)
+        print(f"# measured hop floor: {wall/hops*1e3:.2f} ms/hop over "
+              f"{hops} hop(s) (paper model: ~0.5 ms/hop incl. 88 MB "
+              f"payload at 186 GB/s; this floor carries ~zero payload — "
+              f"the delta under load is the bandwidth term)", flush=True)
 
     # ICI model refresh: bytes/ray/hop is fixed at ~44; what V changes is
     # the COMPUTE per hop (masked rays still ride the ring but skip the
