@@ -6,6 +6,8 @@ from gpupathtracer_tpu.bvh.numpy_builder import build_binary_bvh
 from gpupathtracer_tpu.bvh.types import decode_leaf_entry, encode_leaf_entry
 from gpupathtracer_tpu.bvh.wide import collapse_to_wide
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 def random_tris(rng, n, spread=10.0, size=0.5):
     base = rng.uniform(-spread, spread, (n, 1, 3))

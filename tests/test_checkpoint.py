@@ -5,6 +5,9 @@ import numpy as np
 from gpupathtracer_tpu.config import CameraConfig, RenderConfig
 from gpupathtracer_tpu.render import Renderer
 from gpupathtracer_tpu.render.checkpoint import load_checkpoint, save_checkpoint
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def cfg():

@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpupathtracer_tpu.utils.io import save_png
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def test_cubemap_face_list(tmp_path):

@@ -7,6 +7,9 @@ import math
 import numpy as np
 
 from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def _cfg(**kw):

@@ -5,6 +5,9 @@ import struct
 import numpy as np
 
 from gpupathtracer_tpu.scene.gltf import load_gltf
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def make_gltf_dict():

@@ -24,6 +24,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 # name -> (scene, microfacet, spp)

@@ -4,6 +4,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 def write_hdr_flat(path, img):
     """Minimal Radiance writer (flat scanlines) for testing the reader."""

@@ -6,6 +6,8 @@ import pytest
 from gpupathtracer_tpu.config import CameraConfig, RenderConfig
 from gpupathtracer_tpu.render import Renderer
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 def cornell_cfg(res=32):
     cfg = RenderConfig(scene_path="proc:cornell", skybox="GENERATE COLOR BLACK",

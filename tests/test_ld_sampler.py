@@ -9,6 +9,9 @@ import numpy as np
 from gpupathtracer_tpu.config import CameraConfig, RenderConfig
 from gpupathtracer_tpu.math.sampling import pixel_rotation, r2_sequence
 from gpupathtracer_tpu.render import Renderer
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def _cfg(sampler):

@@ -14,6 +14,8 @@ from gpupathtracer_tpu.ops.texture import sample_atlas
 from gpupathtracer_tpu.scene.textures import _downsample2, build_atlas
 from gpupathtracer_tpu.utils.io import save_png
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def mip_atlas(tmp_path_factory):

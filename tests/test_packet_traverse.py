@@ -9,6 +9,8 @@ from gpupathtracer_tpu.ops.packet_traverse import (any_hit_packets,
                                                    closest_hit_packets)
 from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def scene():

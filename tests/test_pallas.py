@@ -14,6 +14,9 @@ from gpupathtracer_tpu.bvh.wide import pack_for_packets
 from gpupathtracer_tpu.ops.intersect import pack_tri_geom
 from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
 from gpupathtracer_tpu.ops.traverse import closest_hit
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def test_pallas_kernel_matches_perray_interpret():

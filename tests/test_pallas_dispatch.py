@@ -11,6 +11,8 @@ from gpupathtracer_tpu.config import CameraConfig, RenderConfig
 from gpupathtracer_tpu.ops.traverse import trace_closest, trace_occluded
 from gpupathtracer_tpu.scene.scenedata import load_scene
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def cornell():

@@ -11,6 +11,8 @@ from gpupathtracer_tpu.math.camera import generate_image_plane
 from gpupathtracer_tpu.parallel import make_device_mesh, render_sample_sharded
 from gpupathtracer_tpu.scene import load_scene
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def cornell():

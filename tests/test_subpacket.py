@@ -9,6 +9,9 @@ from gpupathtracer_tpu.bvh.wide import pack_for_packets
 from gpupathtracer_tpu.ops.intersect import pack_tri_geom
 from gpupathtracer_tpu.ops.subpacket_traverse import traverse_subpacket
 from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def _scene(seed=7, n=400):

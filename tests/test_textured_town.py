@@ -12,6 +12,8 @@ from gpupathtracer_tpu.config import CameraConfig, RenderConfig
 from gpupathtracer_tpu.scene.samplegen import generate_textured_town
 from gpupathtracer_tpu.scene.scenedata import load_scene
 
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def town(tmp_path_factory):

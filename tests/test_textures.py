@@ -7,6 +7,9 @@ import numpy as np
 from gpupathtracer_tpu.ops.texture import sample_atlas
 from gpupathtracer_tpu.scene.textures import build_atlas
 from gpupathtracer_tpu.utils.io import save_png
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def test_sample_atlas_basic():

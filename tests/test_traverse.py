@@ -5,6 +5,9 @@ from gpupathtracer_tpu.bvh import WideBVH, build_wide_bvh
 from gpupathtracer_tpu.ops.intersect import (brute_force_closest_hit,
                                              mt_intersect, pack_tri_geom)
 from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def make_scene(rng, n_tris=400):

@@ -14,6 +14,9 @@ from gpupathtracer_tpu.ops.intersect import pack_tri_geom
 from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
 from gpupathtracer_tpu.ops.treelet import (trace_closest_treelet,
                                            trace_occluded_treelet)
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def _scene(seed=7, n=400, leaf_size=4):

@@ -14,6 +14,9 @@ from gpupathtracer_tpu.ops.pallas_traverse import traverse_pallas
 from gpupathtracer_tpu.ops.traverse import any_hit, closest_hit
 from gpupathtracer_tpu.ops.tsort import (trace_closest_tsort,
                                          trace_occluded_tsort)
+import pytest
+
+pytestmark = pytest.mark.slow  # render/traversal jits dominate; quick tier = -m 'not slow'
 
 
 def _scene(seed=7, n=400, leaf_size=4):

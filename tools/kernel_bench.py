@@ -73,7 +73,11 @@ def main() -> None:
                          "shared stack), subpacket (per-sublane 128-ray "
                          "packets), treelet (subtree-binned rounds), "
                          "tsort (treelet-sorted packets), tsort-sub "
-                         "(treelet-sorted + subpacket kernel)")
+                         "(treelet-sorted + subpacket kernel), dense "
+                         "(brute-force MXU ray x tri, small scenes), "
+                         "dense-vpu (same with the dots on the VPU)")
+    ap.add_argument("--dense-tile", type=int, default=512,
+                    help="dense mode: triangles per tile")
     ap.add_argument("--cap-factor", type=float, default=2.0)
     ap.add_argument("--fanout", type=int, default=4)
     ap.add_argument("--multi-pop", type=int, default=1,
@@ -160,6 +164,22 @@ def main() -> None:
                 hit = trace_closest_treelet(scene, o, d, tmax, act, **kw)
                 return (hit.t, hit.prim, hit.u, hit.v,
                         jnp.zeros((1, 2), jnp.int32))
+        elif mode in ("dense", "dense-vpu"):
+            from gpupathtracer_tpu.ops.dense_intersect import (
+                dense_intersect, pack_dense_tris)
+            wd, wo = pack_dense_tris(scene.tri_geom)
+            print(f"# dense: padded tris={wd.shape[1] // 3} "
+                  f"tile={args.dense_tile} mxu={mode == 'dense'}",
+                  file=sys.stderr)
+
+            def run(o, d, K, with_stats=False, ilv=1, ordered=None):
+                tmax = jnp.full((N,), 1e20, jnp.float32)
+                act = jnp.ones((N,), bool)
+                t, prim, u, v = dense_intersect(
+                    wd, wo, o, d, tmax, act, any_hit=args.any_hit,
+                    use_mxu=(mode == "dense"), block=K,
+                    tile=args.dense_tile, interpret=False)
+                return (t, prim, u, v, jnp.zeros((1, 2), jnp.int32))
         elif mode in ("tsort", "tsort2", "tsort3", "tsort-sub"):
             from gpupathtracer_tpu.ops.tsort import (trace_closest_tsort,
                                                      trace_occluded_tsort)
