@@ -756,17 +756,255 @@ def _kernel_ilv(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                              + jnp.where(lane == 1, ctr_ref[1], 0))
 
 
+def _kernel_pair(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
+                 rows_ref,
+                 t_out, prim_out, u_out, v_out, stats_out,
+                 stack, sp_ref, kbuf, rowbuf, sem,
+                 *, stack_depth: int, leaf_size: int, any_hit: bool,
+                 table_in_vmem: bool, ordered: bool, interleave: int,
+                 arity: int = 8):
+    """TWO independent packets, one branched pop each per iteration, both
+    pops fused into a SINGLE pl.when region per (phase_A, phase_B)
+    combination.
+
+    Why this differs from the two measured losses (PERF.md): the
+    interleaved kernel (_kernel_ilv) used one pl.when region per packet
+    and Mosaic does not run ahead across region boundaries, so the W
+    chains serialized; multi_pop avoided regions by issuing BOTH phases'
+    vector work unconditionally for every pop, which saturated the VPU.
+    Here the region is selected by the (is_leaf_A, is_leaf_B) pair, so
+    each pop issues only its own phase AND both pops' instruction streams
+    live in one region — packet A's vector->scalar sync (~100-200 serial
+    cycles, the chain's wall) can retire under packet B's slab/MT vector
+    work. Algorithmically identical to two _kernel runs: same pops, same
+    order, same results; only the schedule changes.
+
+    A packet whose stack empties keeps issuing masked (rays_on = 0)
+    phase work while the other drains — the tail waste is bounded by the
+    pop-count imbalance of the pair, small for union-saturated
+    incoherent packets. Layouts as _kernel_ilv with W = 2; kbuf unused
+    (kept for plumbing parity).
+    """
+    del kbuf
+    G = o_ref.shape[2]
+    W = 2
+    assert interleave == 2
+
+    t_out[...] = tmax_ref[...]
+    prim_out[...] = jnp.full((W, G, LANES), -1, jnp.int32)
+    u_out[...] = jnp.zeros((W, G, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((W, G, LANES), jnp.float32)
+
+    if stats_out is not None:
+        ctr_ref = stats_out[1]
+        ctr_ref[0] = 0
+        ctr_ref[1] = 0
+
+    total0 = jnp.int32(0)
+    for w in range(W):
+        root = root_ref[pl.program_id(0) * W + w]
+        stack[w, 0] = root
+        act_w = jnp.sum(act_ref[w].astype(jnp.int32)) > 0
+        on = (act_w & (root != _INVALID)).astype(jnp.int32)
+        sp_ref[w] = on
+        total0 = total0 + on
+
+    def body(total):
+        del total
+        haves, leafs, packeds, ridxs = [], [], [], []
+        n_node = jnp.int32(0)
+        n_leaf = jnp.int32(0)
+        for w in range(W):
+            sp = sp_ref[w]
+            have = sp > 0
+            entry = stack[w, jnp.maximum(sp - 1, 0)]
+            sp_ref[w] = jnp.where(have, sp - 1, sp)
+            is_leaf = have & (entry < 0)
+            is_node = have & (entry >= 0)
+            packed = jnp.where(is_leaf, -(entry + 1), 0)
+            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            haves.append(have)
+            leafs.append(is_leaf)
+            packeds.append(packed)
+            ridxs.append(jnp.where(have, ridx, 0))
+            n_node = n_node + is_node.astype(jnp.int32)
+            n_leaf = n_leaf + is_leaf.astype(jnp.int32)
+        if stats_out is not None:
+            ctr_ref[0] = ctr_ref[0] + n_node
+            ctr_ref[1] = ctr_ref[1] + n_leaf
+
+        rows_w = []
+        if table_in_vmem:
+            for w in range(W):
+                rows_w.append(rows_ref[pl.ds(ridxs[w], 1), :])
+        else:
+            cps = []
+            for w in range(W):
+                cp = pltpu.make_async_copy(rows_ref.at[pl.ds(ridxs[w], 1)],
+                                           rowbuf.at[pl.ds(w, 1)],
+                                           sem.at[w])
+                cp.start()
+                cps.append(cp)
+            for w, cp in enumerate(cps):
+                cp.wait()
+                rows_w.append(rowbuf[pl.ds(w, 1), :])
+
+        views = []
+        for w in range(W):
+            row = rows_w[w]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
+            views.append((row_i, rowG))
+
+        def node_vec(w):
+            """Slab tests -> per-child packet-min key vector [A, 1]."""
+            _, rowG = views[w]
+            o = o_ref[w]
+            inv = inv_ref[w]
+            act = act_ref[w]
+            on = (act & (prim_out[w] < 0) if any_hit else act) & haves[w]
+            t_cur = t_out[w]
+            oi = [o[a] * inv[a] for a in range(3)]
+            hits, tmins = [], []
+            for j in range(arity):
+                tmin = None
+                tmax_ = None
+                for a in range(3):
+                    lo = rowG[:, j * 6 + a:j * 6 + a + 1]
+                    hi = rowG[:, j * 6 + 3 + a:j * 6 + 4 + a]
+                    t0 = lo * inv[a] - oi[a]
+                    t1 = hi * inv[a] - oi[a]
+                    lo_t = jnp.minimum(t0, t1)
+                    hi_t = jnp.maximum(t0, t1)
+                    tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+                    tmax_ = (hi_t if tmax_ is None
+                             else jnp.minimum(tmax_, hi_t))
+                hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                            & (tmin < t_cur) & on)
+                tmins.append(tmin)
+            h8 = jnp.stack(hits)
+            t8 = jnp.stack(tmins)
+            return jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                           axis=1, keepdims=True)  # [A, 1]
+
+        def node_scalar(w, keyv):
+            """Key extracts (the sync) + sort network + stack pushes."""
+            row_i, _ = views[w]
+            pairs = []
+            for j in range(arity):
+                centry = row_i[0, 6 * arity + j]
+                k = jnp.where(centry == _INVALID, jnp.inf, keyv[j, 0])
+                pairs.append((k, centry))
+            if ordered:
+                for a, b in _sort_net(arity):
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb  # descending: nearest pushed last
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+            new_sp = sp_ref[w]
+            for k, centry in pairs:
+                pushed = (k < jnp.inf) & haves[w]
+                idx = jnp.minimum(new_sp, stack_depth - 1)
+                stack[w, idx] = jnp.where(pushed, centry, stack[w, idx])
+                new_sp = new_sp + jnp.where(pushed, 1, 0)
+            sp_ref[w] = new_sp
+
+        def leaf_body(w):
+            _, rowG = views[w]
+            rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
+            o = o_ref[w]
+            d = d_ref[w]
+            act = act_ref[w]
+            on = (act & (prim_out[w] < 0) if any_hit else act) & haves[w]
+            count = packeds[w] & 15
+            t_c = t_out[w]
+            prim_c = prim_out[w]
+            u_c = u_out[w]
+            v_c = v_out[w]
+            for k in range(leaf_size):
+                b = k * 12
+                p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
+                e1 = [rowG[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                e2 = [rowG[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                pid = rowGi[:, b + 9:b + 10]
+                px = d[1] * e2[2] - d[2] * e2[1]
+                py = d[2] * e2[0] - d[0] * e2[2]
+                pz = d[0] * e2[1] - d[1] * e2[0]
+                det = e1[0] * px + e1[1] * py + e1[2] * pz
+                idet = 1.0 / det
+                tx = o[0] - p0[0]
+                ty = o[1] - p0[1]
+                tz = o[2] - p0[2]
+                uu = (tx * px + ty * py + tz * pz) * idet
+                qx = ty * e1[2] - tz * e1[1]
+                qy = tz * e1[0] - tx * e1[2]
+                qz = tx * e1[1] - ty * e1[0]
+                vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                      & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
+                      & on & (k < count))
+                t_c = jnp.where(ok, tt, t_c)
+                prim_c = jnp.where(ok, pid, prim_c)
+                u_c = jnp.where(ok, uu, u_c)
+                v_c = jnp.where(ok, vv, v_c)
+            t_out[w] = t_c
+            prim_out[w] = prim_c
+            u_out[w] = u_c
+            v_out[w] = v_c
+
+        # ONE region per phase combination: both packets' streams fused so
+        # Mosaic can overlap A's sync with B's vector work. A drained
+        # packet (have = False) flows through whichever branch its stale
+        # top-of-stack selects, fully masked.
+        for la in (False, True):
+            for lb in (False, True):
+                cond = ((leafs[0] == la) & (leafs[1] == lb))
+
+                @pl.when(cond)
+                def _(la=la, lb=lb):
+                    kvs = {}
+                    for w, lf in ((0, la), (1, lb)):
+                        if lf:
+                            leaf_body(w)
+                        else:
+                            kvs[w] = node_vec(w)
+                    for w, lf in ((0, la), (1, lb)):
+                        if not lf:
+                            node_scalar(w, kvs[w])
+
+        total = jnp.int32(0)
+        for w in range(W):
+            sp = sp_ref[w]
+            if any_hit:
+                done = jnp.sum((act_ref[w] & (prim_out[w] < 0))
+                               .astype(jnp.int32)) == 0
+                sp = jnp.where(done, 0, sp)
+                sp_ref[w] = sp
+            total = total + sp
+        return total
+
+    jax.lax.while_loop(lambda t: t > 0, body, total0)
+    if stats_out is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
+                             + jnp.where(lane == 1, ctr_ref[1], 0))
+
+
 @functools.partial(jax.jit, static_argnames=("stack_depth", "leaf_size",
                                              "any_hit", "interpret",
                                              "with_stats", "ordered",
                                              "multi_pop", "interleave",
-                                             "arity"))
+                                             "arity", "fused_pair"))
 def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True,
                     multi_pop: int = 1, interleave: int = 1,
-                    arity: int = 8):
+                    arity: int = 8, fused_pair: bool = False):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
@@ -795,13 +1033,16 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     if leaf_block_rows > 1 and (multi_pop > 1 or interleave > 1):
         raise ValueError("multi-row leaves (leaf_size > 10) are supported "
                          "by the single-pop kernel only")
+    if fused_pair and interleave != 2:
+        raise ValueError("fused_pair requires interleave=2")
     if interleave > 1:
         return _traverse_ilv(rows, oT, dT, invT, t_max, active, roots,
                              P=P, K=K, G=G, stack_depth=stack_depth,
                              leaf_size=leaf_size, any_hit=any_hit,
                              interpret=interpret, with_stats=with_stats,
                              ordered=ordered, interleave=interleave,
-                             table_in_vmem=table_in_vmem, arity=arity)
+                             table_in_vmem=table_in_vmem, arity=arity,
+                             fused_pair=fused_pair)
     if multi_pop > 1:
         # Q-pop expands up to Q subtrees at once: the single-pop DFS depth
         # bound (arity-1 entries/level) scales by the lookahead width.
@@ -884,12 +1125,13 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
 def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
                   P, K, G, stack_depth, leaf_size, any_hit, interpret,
                   with_stats, ordered, interleave, table_in_vmem,
-                  arity: int = 8):
+                  arity: int = 8, fused_pair: bool = False):
     """pallas_call plumbing for the interleaved W-packet kernel."""
     W = interleave
     if P % W != 0:
         raise ValueError(f"packet count P={P} must divide interleave={W}")
-    kernel = functools.partial(_kernel_ilv, stack_depth=stack_depth,
+    kernel = functools.partial(_kernel_pair if fused_pair else _kernel_ilv,
+                               stack_depth=stack_depth,
                                leaf_size=leaf_size, any_hit=any_hit,
                                table_in_vmem=table_in_vmem,
                                ordered=ordered, interleave=W, arity=arity)

@@ -223,3 +223,55 @@ def test_pallas_multirow_leaf15_matches_perray():
         interpret=True)
     np.testing.assert_array_equal(np.asarray(prim2).reshape(N) >= 0,
                                   np.asarray(occ_ref))
+
+
+def test_pallas_fused_pair_matches():
+    """W=2 fused-region pair kernel (_kernel_pair) == single-pop results,
+    closest and any-hit, including a drained-packet tail (one packet all
+    dead so the other drains alone through the masked regions)."""
+    p0, p1, p2, rng = _soup(23)
+    wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4, builder="numpy")
+    wide = pack_for_packets(wide, p0, p1 - p0, p2 - p0, 4)
+    rows = jnp.asarray(wide.node_rows)
+    geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
+    dev = WideBVH(*((jnp.asarray(a) if a is not None else None)
+                    for a in wide))
+    depth = stats.max_depth * 7 + 2
+
+    K, P = 128, 4
+    N = P * K
+    o = rng.uniform(-8, 8, (N, 3)).astype(np.float32)
+    tgt = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((N,), 1e20, jnp.float32)
+    act = np.asarray(rng.rand(N) < 0.8)
+    act[K:2 * K] = False  # packet 1 fully dead: pair (0, 1) is imbalanced
+    act = jnp.asarray(act)
+
+    ref = closest_hit(dev, geom, o, d, tmax, act, stack_depth=depth)
+    for ordered in (True, False):
+        t, prim, u, v = traverse_pallas(
+            rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+            tmax.reshape(P, K), act.reshape(P, K),
+            stack_depth=depth, interpret=True, interleave=2,
+            fused_pair=True, ordered=ordered)
+        np.testing.assert_allclose(np.asarray(t).reshape(N),
+                                   np.asarray(ref.t), rtol=1e-5, atol=1e-5)
+        m = np.asarray(ref.prim) >= 0
+        np.testing.assert_array_equal(np.asarray(prim).reshape(N)[m],
+                                      np.asarray(ref.prim)[m])
+        np.testing.assert_array_equal(np.asarray(prim).reshape(N) < 0,
+                                      np.asarray(ref.prim) < 0)
+
+    from gpupathtracer_tpu.ops.traverse import any_hit
+    tm2 = jnp.full((N,), 5.0, jnp.float32)
+    occ_ref = any_hit(dev, geom, o, d, tm2, act, stack_depth=depth)
+    _, prim2, _, _ = traverse_pallas(
+        rows, o.reshape(P, K, 3), d.reshape(P, K, 3),
+        tm2.reshape(P, K), act.reshape(P, K),
+        stack_depth=depth, interpret=True, interleave=2, fused_pair=True,
+        any_hit=True, ordered=False)
+    occ = (np.asarray(prim2).reshape(N) >= 0) & np.asarray(act)
+    np.testing.assert_array_equal(occ, np.asarray(occ_ref))

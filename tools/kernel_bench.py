@@ -88,6 +88,9 @@ def main() -> None:
     ap.add_argument("--interleave", default="1",
                     help="independent packets co-scheduled per grid step "
                          "(packet mode); comma-separated list to sweep")
+    ap.add_argument("--fused-pair", action="store_true",
+                    help="with --interleave 2: fuse both packets' pops "
+                         "into one region per phase pair (_kernel_pair)")
     ap.add_argument("--leaf", type=int, default=0,
                     help="override builder leaf_size (0 = config default)")
     ap.add_argument("--reinsert", type=int, default=0,
@@ -221,7 +224,8 @@ def main() -> None:
                            ordered=bool(ord_list[0] if ordered is None
                                         else ordered),
                            **({"multi_pop": args.multi_pop,
-                               "interleave": ilv}
+                               "interleave": ilv,
+                               "fused_pair": args.fused_pair and ilv == 2}
                               if mode == "packet" else {}),
                            with_stats=with_stats)
         return run
