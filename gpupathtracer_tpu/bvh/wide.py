@@ -94,7 +94,9 @@ def collapse_to_wide(bvh: BinaryBVH, arity: int = 8) -> Tuple[WideBVH, int]:
 
 
 def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
-                     tri_e2: np.ndarray, leaf_size: int = 4) -> WideBVH:
+                     tri_e2: np.ndarray, leaf_size: int = 4,
+                     tri_mat: np.ndarray = None,
+                     tri_nsign: np.ndarray = None) -> WideBVH:
     """Attach the packed row layout used by the packet traversal.
 
     One merged table: node rows (8 child AABBs + 8 bit-cast entries) followed
@@ -146,6 +148,18 @@ def pack_for_packets(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
             have[:, None], tri_e2[tri], 0.0)
         leaf_rows[rows, base + 9] = np.where(
             have, tri.astype(np.int32), -1).astype(np.int32).view(np.float32)
+        # Spare slots 10/11 of the 12-float stride: the triangle's material
+        # id and shading-normal sign (soup.normal = +/- normalize(e1 x e2),
+        # mesh.py:80-85). The megakernel captures these at hit time so
+        # shading needs NO post-traversal row gather; every other kernel
+        # ignores them.
+        if tri_mat is not None:
+            leaf_rows[rows, base + 10] = np.where(
+                have, tri_mat[tri].astype(np.int32), 0
+            ).astype(np.int32).view(np.float32)
+        if tri_nsign is not None:
+            leaf_rows[rows, base + 11] = np.where(
+                have, tri_nsign[tri], 1.0).astype(np.float32)
 
     # --- entries referencing merged rows ---------------------------------
     packet_entry = entries.copy()

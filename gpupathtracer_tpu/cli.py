@@ -62,6 +62,7 @@ def build_config(args) -> "RenderConfig":
     cfg.bvh_builder = args.bvh_builder
     cfg.sampler = args.sampler
     cfg.frame_batch = args.frame_batch
+    cfg.megakernel = args.megakernel
     cfg.shadow_rev = args.shadow_rev
     cfg.bounce_traversal = args.bounce_traversal
     cfg.partition_chips = args.partition_chips
@@ -111,6 +112,10 @@ def main(argv=None) -> int:
                         "filtering with ray-cone LOD)")
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="pixel jitter: threefry or R2 low-discrepancy")
+    p.add_argument("--megakernel", default="off",
+                   choices=["off", "on", "auto"],
+                   help="run eligible small-scene frames through the "
+                        "all-on-core bounce loop (ops/megakernel.py)")
     p.add_argument("--exposure", type=float, default=1.68)
     p.add_argument("--bvh-builder", default="auto",
                    choices=["auto", "cpp", "numpy"])

@@ -82,6 +82,9 @@ class RenderConfig:
     shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
     tsort_alternate: bool = False          # recompute the tsort perm on even bounces only
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
+    megakernel: str = "off"                # "off" | "on" | "auto": run eligible
+    #                                        wavefront/direct frames through the
+    #                                        all-on-core bounce loop (ops/megakernel.py)
     compaction: bool = True                # bounce-epoch live-path compaction
     compaction_divs: Tuple[int, ...] = (4, 16, 64)  # phase width schedule (PERF.md r3 sweep)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)

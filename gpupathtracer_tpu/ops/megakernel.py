@@ -1,0 +1,871 @@
+"""Megakernel integrator: the WHOLE bounce loop on-core for small scenes.
+
+The reference is a literal megakernel — one persistent-thread compute
+shader per sample path (src/shaders/Iterative.comp:214-307). The
+wavefront integrator (models/wavefront.py) replays its estimator through
+XLA ops between Pallas traversals, which costs ~20 ns/lane/bounce of
+HBM-pass glue plus dispatch — measured at ~37% of the bathroom frame
+(PERF.md small-scene glue decomposition), the dominant term once the
+traversal is fast. This kernel is the TPU-native megakernel: rays,
+throughput, and film contribution stay resident in VMEM across ALL
+bounces of a packet; shading, NEE, BSDF sampling, and Russian roulette
+run as fused VPU arithmetic between the in-kernel stack walks; the only
+HBM traffic per packet is the initial rays in and the contribution out.
+
+Scope (checked by `mega_eligible`): untextured materials (constant
+albedo — the benchmark configs 1/2/4), constant-color environment, no
+delta materials, no sun, <= 64 emitters, <= 64 materials, table pinned
+in VMEM. Everything else falls back to the wavefront integrator.
+
+Estimator semantics are the wavefront's exactly (same formulas, cited
+there); the per-bounce RNG is the TPU core PRNG (pltpu.prng_*) seeded
+per packet instead of threefry — renders are deterministic given
+(seed, packet layout) but not bitwise-equal to the wavefront path;
+agreement is statistical (tests/test_megakernel.py).
+
+Shading data flows through HIT-TIME CAPTURE: the leaf phase selects the
+winning triangle's e1/e2 (for the geometric normal), material id, and
+normal sign (bvh/wide.py packs them in the spare tri-slot floats), so
+shading needs no gather at all; material/light constants broadcast from
+VMEM-resident tables via a static select loop over the scene's <= 64
+rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpupathtracer_tpu.bvh.types import INVALID_ENTRY
+
+_INVALID = INVALID_ENTRY
+LANES = 128
+PI = float(np.pi)
+
+# Reuse the hand-kept 8-key sort network from the traversal kernel.
+from gpupathtracer_tpu.ops.pallas_traverse import (VMEM_TABLE_LIMIT,
+                                                   _sort_net)
+
+
+def mega_eligible(scene, meta, *, textured: bool, delta: bool, sun: bool,
+                  sampler: str = "random") -> bool:
+    """Static gate: can this scene/config run on the megakernel?"""
+    env = np.asarray(scene.env.image)
+    const_env = (env.size <= 3 * 64
+                 and bool((env == env.reshape(-1, 3)[0]).all()))
+    return (not textured and not delta and not sun
+            and sampler == "random"
+            and const_env
+            and meta.num_materials <= 64
+            and scene.light_rows.shape[0] <= 64
+            and scene.bvh.node_rows.size
+            * scene.bvh.node_rows.dtype.itemsize <= VMEM_TABLE_LIMIT)
+
+
+def pack_mega_tables(scene):
+    """Material/light constants as 128-lane VMEM rows + SMEM scalars."""
+    mats = np.zeros((max(scene.mat_rows.shape[0], 1), LANES), np.float32)
+    mats[:, 0:16] = np.asarray(scene.mat_rows)
+    lights = np.zeros((max(scene.light_rows.shape[0], 1), LANES),
+                      np.float32)
+    lights[:, 0:16] = np.asarray(scene.light_rows)
+    cdf = np.zeros((max(scene.light_cdf.shape[0], 1),), np.float32)
+    cdf[:scene.light_cdf.shape[0]] = np.asarray(scene.light_cdf)
+    total = float(scene.total_light_area)
+    env = np.asarray(scene.env.image).reshape(-1, 3)[0]
+    # [total_area, nee_pdf, env_r, env_g, env_b]
+    nee_pdf = 0.5 / total if total > 0 else np.inf
+    params = np.asarray([total, nee_pdf, env[0], env[1], env[2]],
+                        np.float32)
+    return jnp.asarray(mats), jnp.asarray(lights), jnp.asarray(cdf), \
+        jnp.asarray(params)
+
+
+# --- component-form vector math (x/y/z as separate [G, 128] tiles) ----------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross(a, b):
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def _normalize(v, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot(v, v), eps))
+    return [c * inv for c in v]
+
+
+def _scale(v, s):
+    return [c * s for c in v]
+
+
+def _add(a, b):
+    return [x + y for x, y in zip(a, b)]
+
+
+def _sub(a, b):
+    return [x - y for x, y in zip(a, b)]
+
+
+def _where(m, a, b):
+    return [jnp.where(m, x, y) for x, y in zip(a, b)]
+
+
+def _tbn(n):
+    """construct_tbn (vecmath.py / Material.glsl:71-76): helper +X when
+    |n.y| > 0.99 else +Y; t = normalize(helper x n); b = t x n."""
+    use_x = jnp.abs(n[1]) > 0.99
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    # helper x n with helper = (hx, hy, 0)
+    t = _normalize([hy * n[2], -hx * n[2], hx * n[1] - hy * n[0]])
+    b = _cross(t, n)
+    return t, b
+
+
+def _mis(top, bottom):
+    return 1.0 / (1.0 + bottom / jnp.maximum(top, 1e-30))
+
+
+def _fresnel(f0, cos_theta):
+    x = 1.0 - cos_theta
+    x5 = x * x
+    x5 = x5 * x5 * x
+    return [f + (1.0 - f) * x5 for f in f0]
+
+
+def _distribution(model, rough, rough2, ndm, ndm2):
+    if model == "trowbridge_reitz":
+        divisor = (rough2 - 1.0) * ndm2 + 1.0
+        return rough2 / jnp.maximum(PI * divisor * divisor, 1e-20)
+    if model == "beckmann":
+        sub = 2.0 * jnp.log(jnp.sqrt(PI) * rough
+                            * jnp.maximum(ndm, 1e-8))
+        add = (ndm2 - 1.0) / jnp.maximum(ndm2 * rough2, 1e-20)
+        return jnp.exp(add - sub)
+    if model == "blinn_phong":
+        nb = 2.0 / rough - 2.0
+        return ((nb + 1.0) / (2.0 * PI)
+                * jnp.exp(jnp.log(jnp.maximum(ndm, 1e-20)) * nb))
+    raise ValueError(model)
+
+
+def _sample_microfacet(model, rough, rough2, r0, r1):
+    """Half-vector in tangent space (radius*(sin, cos), z)."""
+    if model == "trowbridge_reitz":
+        z2 = jnp.maximum((1.0 - r0) / (r0 * (rough2 - 1.0) + 1.0), 0.0)
+    elif model == "beckmann":
+        g = -rough2 * jnp.log(jnp.maximum(1.0 - r0, 1e-20))
+        z2 = 1.0 / (1.0 + g)
+    elif model == "blinn_phong":
+        nb = 2.0 / rough - 2.0
+        z = jnp.exp(jnp.log(jnp.maximum(r0, 1e-20)) / (nb + 1.0))
+        z2 = z * z
+    else:
+        raise ValueError(model)
+    z = jnp.sqrt(z2)
+    phi = 2.0 * PI * r1
+    radius = jnp.sqrt(jnp.maximum(1.0 - z2, 0.0))
+    return [radius * jnp.sin(phi), radius * jnp.cos(phi), z]
+
+
+def _vis_ggx(rough2, ndx):
+    return 1.0 / jnp.maximum(
+        ndx + jnp.sqrt(rough2 * (1.0 - rough2) * ndx * ndx), 1e-5)
+
+
+def _mega_kernel(seed_ref, params_ref, cdf_ref,
+                 o_ref, d_ref, act_ref,
+                 rows_ref, mats_ref, lights_ref,
+                 contrib_out, rays_out,
+                 stack, sp_ref, ctr,
+                 st_o, st_d, st_tp, st_ct, st_lp,
+                 st_pdf0, st_pdf1, st_alive,
+                 cap_t, cap_prim, cap_e1, cap_e2, cap_ms,
+                 *, stack_depth: int, leaf_size: int, max_bounces: int,
+                 nee: bool, model: str, n_mats: int, n_lights: int,
+                 arity: int = 8):
+    """One packet; the full path-tracing estimator per lane.
+
+    seed: SMEM (P,); params: SMEM (5,) [total_area, nee_pdf, env rgb];
+    cdf: SMEM (L,). o/d: [3, G, 128] VMEM blocks; act: [G, 128].
+    contrib_out: [3, G, 128]; rays_out: [1, 128] i32 (lane 0 = bounce
+    rays, lane 1 = live shadow rays — the honest Mrays/s numerators).
+    State scratch: st_* as in the wavefront Carry; cap_* hit capture
+    (cap_ms packs [mat_id (int bits), nsign] as 2 G-rows: [2, G, 128]).
+    """
+    G = o_ref.shape[1]
+    pid = pl.program_id(0)
+    seed = seed_ref[pid]
+
+    total_area = params_ref[0]
+    nee_pdf = params_ref[1]
+
+    # Counter-based lowbias32 hash RNG on (seed, bounce, draw slot, lane):
+    # plain integer ops, so the SAME stream lowers on the TPU core and in
+    # interpret mode (pltpu.prng_* has no CPU lowering) — renders are
+    # bitwise-identical across platforms given (seed, packet layout).
+    # Same hash family as math/sampling.pixel_rotation; the [0,1) value
+    # keeps the repo's 24-bit truncation contract (sampling.py:85-92).
+    lane32 = (jax.lax.broadcasted_iota(jnp.int32, (G, LANES), 0) * LANES
+              + jax.lax.broadcasted_iota(jnp.int32, (G, LANES), 1)
+              ).astype(jnp.uint32)
+
+    def uni(i, slot: int):
+        s = (seed.astype(jnp.uint32)
+             + (i + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+             + jnp.uint32((slot * 0x85EBCA6B) & 0xFFFFFFFF))
+        x = lane32 ^ s
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return ((x >> 8).astype(jnp.float32)
+                * jnp.float32(1.0 / 16777216.0))
+
+    # --- state init --------------------------------------------------------
+    for a in range(3):
+        st_o[a] = o_ref[a]
+        st_d[a] = d_ref[a]
+        st_lp[a] = o_ref[a]
+        st_tp[a] = jnp.ones((G, LANES), jnp.float32)
+        st_ct[a] = jnp.zeros((G, LANES), jnp.float32)
+    st_pdf0[...] = jnp.ones((G, LANES), jnp.float32)
+    st_pdf1[...] = jnp.ones((G, LANES), jnp.float32)
+    st_alive[...] = act_ref[...].astype(jnp.int32)
+    ctr[0] = 0  # bounce rays traced
+    ctr[1] = 0  # live shadow rays traced
+
+    # --- in-kernel traversal walks ----------------------------------------
+    def walk_closest(o, d, on):
+        """Ordered closest-hit stack walk; writes cap_* refs."""
+        inv = [jnp.where(d[a] >= 0, 1.0, -1.0)
+               / jnp.maximum(jnp.abs(d[a]), 1e-12) for a in range(3)]
+        oi = [o[a] * inv[a] for a in range(3)]
+        cap_t[...] = jnp.full((G, LANES), 1e20, jnp.float32)
+        cap_prim[...] = jnp.full((G, LANES), -1, jnp.int32)
+        cap_e1[0] = jnp.ones((G, LANES), jnp.float32)
+        cap_e1[1] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e1[2] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e2[0] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e2[1] = jnp.ones((G, LANES), jnp.float32)
+        cap_e2[2] = jnp.zeros((G, LANES), jnp.float32)
+        cap_ms[0] = jnp.zeros((G, LANES), jnp.float32)
+        cap_ms[1] = jnp.ones((G, LANES), jnp.float32)
+
+        any_on = jnp.sum(jnp.where(on, 1, 0)) > 0
+        stack[0] = 0
+
+        def body(sp):
+            entry = stack[sp - 1]
+            sp = sp - 1
+            is_leaf = entry < 0
+            packed = jnp.where(is_leaf, -(entry + 1), 0)
+            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            row = rows_ref[pl.ds(ridx, 1), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
+            rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
+            sp_ref[0] = sp
+
+            @pl.when(jnp.logical_not(is_leaf))
+            def _():
+                t_cur = cap_t[...]
+                hits, tmins = [], []
+                for j in range(arity):
+                    tmin = None
+                    tmax_ = None
+                    for a in range(3):
+                        lo = rowG[:, j * 6 + a:j * 6 + a + 1]
+                        hi = rowG[:, j * 6 + 3 + a:j * 6 + 4 + a]
+                        t0 = lo * inv[a] - oi[a]
+                        t1 = hi * inv[a] - oi[a]
+                        lo_t = jnp.minimum(t0, t1)
+                        hi_t = jnp.maximum(t0, t1)
+                        tmin = (lo_t if tmin is None
+                                else jnp.maximum(tmin, lo_t))
+                        tmax_ = (hi_t if tmax_ is None
+                                 else jnp.minimum(tmax_, hi_t))
+                    hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                                & (tmin < t_cur) & on)
+                    tmins.append(tmin)
+                h8 = jnp.stack(hits)
+                t8 = jnp.stack(tmins)
+                keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                               axis=1, keepdims=True)
+                pairs = []
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
+                    k = jnp.where(centry == _INVALID, jnp.inf, keyv[j, 0])
+                    pairs.append((k, centry))
+                for a, b in _sort_net(arity):
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+                new_sp = sp
+                for k, centry in pairs:
+                    pushed = k < jnp.inf
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+
+            @pl.when(is_leaf)
+            def _():
+                count = packed & 15
+                t_c = cap_t[...]
+                p_c = cap_prim[...]
+                e1c = [cap_e1[a] for a in range(3)]
+                e2c = [cap_e2[a] for a in range(3)]
+                mc = cap_ms[0]
+                sc = cap_ms[1]
+                for k in range(leaf_size):
+                    b = k * 12
+                    p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
+                    e1 = [rowG[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                    e2 = [rowG[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                    pid_ = rowGi[:, b + 9:b + 10]
+                    mat_f = rowG[:, b + 10:b + 11]
+                    sgn = rowG[:, b + 11:b + 12]
+                    px = d[1] * e2[2] - d[2] * e2[1]
+                    py = d[2] * e2[0] - d[0] * e2[2]
+                    pz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    idet = 1.0 / det
+                    tx = o[0] - p0[0]
+                    ty = o[1] - p0[1]
+                    tz = o[2] - p0[2]
+                    uu = (tx * px + ty * py + tz * pz) * idet
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
+                          & on & (k < count))
+                    t_c = jnp.where(ok, tt, t_c)
+                    p_c = jnp.where(ok, pid_, p_c)
+                    for a in range(3):
+                        e1c[a] = jnp.where(ok, e1[a], e1c[a])
+                        e2c[a] = jnp.where(ok, e2[a], e2c[a])
+                    mc = jnp.where(ok, mat_f, mc)
+                    sc = jnp.where(ok, sgn, sc)
+                cap_t[...] = t_c
+                cap_prim[...] = p_c
+                for a in range(3):
+                    cap_e1[a] = e1c[a]
+                    cap_e2[a] = e2c[a]
+                cap_ms[0] = mc
+                cap_ms[1] = sc
+
+            return sp_ref[0]
+
+        sp0 = jnp.where(any_on, 1, 0)
+        jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+
+    def walk_anyhit(o, d, tmax, on):
+        """Unordered any-hit walk (occlusion): returns nothing; uses
+        cap_prim as the hit flag buffer (>= 0 means occluded)."""
+        inv = [jnp.where(d[a] >= 0, 1.0, -1.0)
+               / jnp.maximum(jnp.abs(d[a]), 1e-12) for a in range(3)]
+        oi = [o[a] * inv[a] for a in range(3)]
+        cap_prim[...] = jnp.full((G, LANES), -1, jnp.int32)
+
+        any_on = jnp.sum(jnp.where(on, 1, 0)) > 0
+        stack[0] = 0
+
+        def body(sp):
+            entry = stack[sp - 1]
+            sp = sp - 1
+            is_leaf = entry < 0
+            packed = jnp.where(is_leaf, -(entry + 1), 0)
+            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            row = rows_ref[pl.ds(ridx, 1), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
+            rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
+            sp_ref[0] = sp
+            rays_on = on & (cap_prim[...] < 0)
+
+            @pl.when(jnp.logical_not(is_leaf))
+            def _():
+                hits = []
+                for j in range(arity):
+                    tmin = None
+                    tmax_ = None
+                    for a in range(3):
+                        lo = rowG[:, j * 6 + a:j * 6 + a + 1]
+                        hi = rowG[:, j * 6 + 3 + a:j * 6 + 4 + a]
+                        t0 = lo * inv[a] - oi[a]
+                        t1 = hi * inv[a] - oi[a]
+                        lo_t = jnp.minimum(t0, t1)
+                        hi_t = jnp.maximum(t0, t1)
+                        tmin = (lo_t if tmin is None
+                                else jnp.maximum(tmin, lo_t))
+                        tmax_ = (hi_t if tmax_ is None
+                                 else jnp.minimum(tmax_, hi_t))
+                    hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                                & (tmin < tmax) & rays_on)
+                # Unordered: ONE packed-bitmask sync (2.9x for occlusion,
+                # PERF.md any-hit ordering A/B).
+                h8 = jnp.stack(hits).astype(jnp.int32)
+                cnt = jnp.sum(jnp.sum(h8, axis=2), axis=1, keepdims=True)
+                w = jnp.left_shift(1, jax.lax.broadcasted_iota(
+                    jnp.int32, (arity, 1), 0))
+                bits = jnp.sum(jnp.where(cnt > 0, w, 0))
+                new_sp = sp
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
+                    pushed = ((jax.lax.shift_right_logical(bits, j) & 1 > 0)
+                              & (centry != _INVALID))
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+
+            @pl.when(is_leaf)
+            def _():
+                count = packed & 15
+                p_c = cap_prim[...]
+                for k in range(leaf_size):
+                    b = k * 12
+                    p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
+                    e1 = [rowG[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                    e2 = [rowG[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                    pid_ = rowGi[:, b + 9:b + 10]
+                    px = d[1] * e2[2] - d[2] * e2[1]
+                    py = d[2] * e2[0] - d[0] * e2[2]
+                    pz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    idet = 1.0 / det
+                    tx = o[0] - p0[0]
+                    ty = o[1] - p0[1]
+                    tz = o[2] - p0[2]
+                    uu = (tx * px + ty * py + tz * pz) * idet
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < tmax)
+                          & rays_on & (k < count))
+                    p_c = jnp.where(ok, pid_, p_c)
+                cap_prim[...] = p_c
+
+            sp = sp_ref[0]
+            done = jnp.sum((on & (cap_prim[...] < 0))
+                           .astype(jnp.int32)) == 0
+            return jnp.where(done, 0, sp)
+
+        sp0 = jnp.where(any_on, 1, 0)
+        jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+
+    # --- material / light table broadcast select ---------------------------
+    def mat_fields(mid):
+        """Albedo, rough_g, metallic, emission via static select loop."""
+        alb = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        emi = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        g = jnp.zeros((G, LANES), jnp.float32)
+        metal = jnp.zeros((G, LANES), jnp.float32)
+        for m in range(n_mats):
+            rowG = (pltpu.repeat(mats_ref[pl.ds(m, 1), :], G, axis=0)
+                    if G > 1 else mats_ref[pl.ds(m, 1), :])
+            sel = mid == m
+            for a in range(3):
+                alb[a] = jnp.where(sel, rowG[:, a:a + 1], alb[a])
+                emi[a] = jnp.where(sel, rowG[:, 5 + a:6 + a], emi[a])
+            g = jnp.where(sel, rowG[:, 3:4], g)
+            metal = jnp.where(sel, rowG[:, 4:5], metal)
+        rough = jnp.maximum(g * g, 1e-4)
+        return alb, emi, rough, rough * rough, metal
+
+    def light_fields(li):
+        p0 = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        e1 = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        e2 = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        ln = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        em = [jnp.zeros((G, LANES), jnp.float32) for _ in range(3)]
+        for l in range(n_lights):
+            rowG = (pltpu.repeat(lights_ref[pl.ds(l, 1), :], G, axis=0)
+                    if G > 1 else lights_ref[pl.ds(l, 1), :])
+            sel = li == l
+            for a in range(3):
+                p0[a] = jnp.where(sel, rowG[:, a:a + 1], p0[a])
+                e1[a] = jnp.where(sel, rowG[:, 3 + a:4 + a], e1[a])
+                e2[a] = jnp.where(sel, rowG[:, 6 + a:7 + a], e2[a])
+                ln[a] = jnp.where(sel, rowG[:, 9 + a:10 + a], ln[a])
+                em[a] = jnp.where(sel, rowG[:, 12 + a:13 + a], em[a])
+        return p0, e1, e2, ln, em
+
+    # --- shared BSDF terms --------------------------------------------------
+    def diffuse_pmf_of(alb, metal, ndo):
+        """CalcDiffusePmf: energy at ndi = 0.5 (Microfacet.glsl:156-161);
+        luminance = RGB mean (Util.glsl)."""
+        f0 = [0.04 * (1.0 - metal) + a * metal for a in alb]
+        fi = _fresnel(f0, jnp.full((G, LANES), 0.5, jnp.float32))
+        fo = _fresnel(f0, ndo)
+        terms = [(1.0 - metal) * (1.0 - x) * (1.0 - y)
+                 for x, y in zip(fi, fo)]
+        lum = (terms[0] + terms[1] + terms[2]) / 3.0
+        return jnp.clip(lum, 0.0, 1.0), f0
+
+    def bsdf_eval(alb, metal, f0, rough, rough2, n, view, inc, ndo, ndi,
+                  ndm, ndm2, idm):
+        below = (_dot(n, inc) < 0.0) | (_dot(n, view) < 0.0)
+        D = _distribution(model, rough, rough2, ndm, ndm2)
+        vis = _vis_ggx(rough2, ndi) * _vis_ggx(rough2, ndo) / 4.0
+        fm = _fresnel(f0, idm)
+        fi = _fresnel(f0, ndi)
+        fo = _fresnel(f0, ndo)
+        out = []
+        for a in range(3):
+            spec = fm[a] * D * vis
+            diff = (alb[a] / PI
+                    * (1.0 - metal) * (1.0 - fi[a]) * (1.0 - fo[a]))
+            out.append(jnp.where(below, 0.0, spec + diff))
+        return out
+
+    def pdf_mf(rough, rough2, ndm, ndm2, idm):
+        D = _distribution(model, rough, rough2, ndm, ndm2)
+        return jnp.maximum(D * ndm / jnp.maximum(4.0 * idm, 1e-20), 1e-10)
+
+    # --- the bounce loop ----------------------------------------------------
+    def bounce(i):
+        o = [st_o[a] for a in range(3)]
+        d = [st_d[a] for a in range(3)]
+        alive = st_alive[...] > 0
+        ctr[0] = ctr[0] + jnp.sum(jnp.where(alive, 1, 0))
+
+        walk_closest(o, d, alive)
+        t = cap_t[...]
+        prim = cap_prim[...]
+        miss = prim < 0
+        e1 = [cap_e1[a] for a in range(3)]
+        e2 = [cap_e2[a] for a in range(3)]
+        mid = jax.lax.bitcast_convert_type(cap_ms[0], jnp.int32)
+        nsign = cap_ms[1]
+
+        n = _scale(_normalize(_cross(e1, e2)), nsign)
+        pos = [o[a] + d[a] * t + 0.003 * n[a] for a in range(3)]
+        view = [-d[a] for a in range(3)]
+        ndo = jnp.maximum(_dot(n, view), 0.0)
+
+        alb, emi_m, rough, rough2, metal = mat_fields(mid)
+        env = [jnp.full((G, LANES), params_ref[2 + a], jnp.float32)
+               for a in range(3)]
+        emission = _where(miss, env, emi_m)
+
+        # L_e accumulation with the MIS rewrite (wavefront.py:299-317).
+        dvec = _sub([st_lp[a] for a in range(3)], pos)
+        dist2 = jnp.maximum(_dot(dvec, dvec), 1e-12)
+        pdf0 = st_pdf0[...]
+        pdf1 = st_pdf1[...]
+        old_mis = _mis(pdf0, pdf1)
+        factor = 0.5 * jnp.abs(_dot(n, view)) / dist2
+        p0n = pdf0 * factor
+        p1n = pdf1 * factor
+        idt_scale = (p0n / (p0n + p1n + nee_pdf)
+                     / jnp.maximum(old_mis, 1e-30))
+        if nee:
+            use_rw = (~miss) & (i != 0)
+        else:
+            use_rw = jnp.zeros((G, LANES), bool)
+        scale = jnp.where(use_rw, idt_scale, 1.0)
+        tp = [st_tp[a] for a in range(3)]
+        for a in range(3):
+            st_ct[a] = st_ct[a] + jnp.where(alive,
+                                            tp[a] * scale * emission[a],
+                                            0.0)
+        alive = alive & ~miss
+        st_alive[...] = jnp.where(alive, 1, 0)
+
+        # --- NEE (wavefront.py:331-387 / Iterative.comp:113-147) ----------
+        if nee:
+            u_sel = uni(i, 0)
+            u_t0 = uni(i, 1)
+            u_t1 = uni(i, 2)
+            selected = u_sel * total_area
+            li = jnp.zeros((G, LANES), jnp.int32)
+            for l in range(n_lights):
+                li = li + jnp.where(cdf_ref[l] <= selected, 1, 0)
+            li = jnp.clip(li, 0, max(n_lights - 1, 0))
+            lp0, le1, le2, ln, lem = light_fields(li)
+            sr = jnp.sqrt(u_t0)
+            bv = u_t1 * sr
+            bt = 1.0 - (1.0 - sr) - bv
+            lpos = [lp0[a] + le1[a] * bv + le2[a] * bt for a in range(3)]
+            delta = _sub(lpos, pos)
+            radius = jnp.sqrt(jnp.maximum(_dot(delta, delta), 1e-20))
+            light_pdf = 1.0 / total_area
+            shadow_tmax = radius - 0.005
+            ldir = [delta[a] / radius for a in range(3)]
+            # set_incoming: half vector + dots
+            m_h = _normalize(_add(view, ldir))
+            ndi_l = jnp.maximum(_dot(n, ldir), 0.0)
+            ndm_l = jnp.maximum(_dot(n, m_h), 0.0)
+            idm_l = jnp.maximum(_dot(ldir, m_h), 0.0)
+            cos_l = jnp.abs(-_dot(ln, ldir))
+            r2 = radius * radius
+            dpmf, f0 = diffuse_pmf_of(alb, metal, ndo)
+            pdf_dir = (dpmf * ndi_l / PI
+                       + (1.0 - dpmf) * pdf_mf(rough, rough2, ndm_l,
+                                               ndm_l * ndm_l, idm_l))
+            bounce_pdf = pdf_dir * cos_l / r2
+            weight = _mis(light_pdf, bounce_pdf)
+            bsdf_l = bsdf_eval(alb, metal, f0, rough, rough2, n, view,
+                               ldir, ndo, ndi_l, ndm_l, ndm_l * ndm_l,
+                               idm_l)
+            lscale = ndi_l * cos_l * weight / (light_pdf * r2)
+            lt = [tp[a] * bsdf_l[a] * lscale for a in range(3)]
+            contrib_ok = ((lt[0] * lem[0] != 0.0)
+                          | (lt[1] * lem[1] != 0.0)
+                          | (lt[2] * lem[2] != 0.0))
+            shadow_live = alive & contrib_ok
+            ctr[1] = ctr[1] + jnp.sum(jnp.where(shadow_live, 1, 0))
+            so = [pos[a] + 0.001 * n[a] for a in range(3)]
+            walk_anyhit(so, ldir, shadow_tmax, shadow_live)
+            occluded = cap_prim[...] >= 0
+            add = shadow_live & ~occluded
+            for a in range(3):
+                st_ct[a] = st_ct[a] + jnp.where(add, lt[a] * lem[a], 0.0)
+
+        if max_bounces == 0:
+            # Pure direct lighting: no continuation (wavefront.py:390-399).
+            st_alive[...] = jnp.zeros((G, LANES), jnp.int32)
+            for a in range(3):
+                st_lp[a] = pos[a]
+                st_o[a] = pos[a]
+            return
+
+        # --- BSDF importance sample (Microfacet.glsl:172-193) -------------
+        u_c = uni(i, 3)
+        u_s0 = uni(i, 4)
+        u_s1 = uni(i, 5)
+        u_rr = uni(i, 6)
+        dpmf2, f0b = diffuse_pmf_of(alb, metal, ndo)
+        pick_diffuse = u_c < dpmf2
+        tgt, tgb = _tbn(n)
+        # cosine hemisphere local sample (sampling.py:29-38)
+        radius_d = jnp.sqrt(u_s0)
+        phi_d = 2.0 * PI * u_s1
+        loc_d = [radius_d * jnp.sin(phi_d), radius_d * jnp.cos(phi_d),
+                 jnp.sqrt(jnp.maximum(1.0 - u_s0, 0.0))]
+        loc_m = _sample_microfacet(model, rough, rough2, u_s0, u_s1)
+
+        def to_world(loc):
+            return [tgt[a] * loc[0] + tgb[a] * loc[1] + n[a] * loc[2]
+                    for a in range(3)]
+
+        dir_d = to_world(loc_d)
+        m_w = to_world(loc_m)
+        odm = _dot(view, m_w)
+        dir_s = [2.0 * odm * m_w[a] - view[a] for a in range(3)]
+        inc = _where(pick_diffuse, dir_d, dir_s)
+        # set_incoming at the final direction
+        m_f = _normalize(_add(view, inc))
+        ndi_b = jnp.maximum(_dot(n, inc), 0.0)
+        ndm_b = jnp.maximum(_dot(n, m_f), 0.0)
+        idm_b = jnp.maximum(_dot(inc, m_f), 0.0)
+        pdf_d = dpmf2 * ndi_b / PI
+        pdf_s = (1.0 - dpmf2) * pdf_mf(rough, rough2, ndm_b,
+                                       ndm_b * ndm_b, idm_b)
+        npdf0 = jnp.where(pick_diffuse, pdf_d, pdf_s)
+        npdf1 = jnp.where(pick_diffuse, pdf_s, pdf_d)
+        bsdf_b = bsdf_eval(alb, metal, f0b, rough, rough2, n, view, inc,
+                           ndo, ndi_b, ndm_b, ndm_b * ndm_b, idm_b)
+        tscale = ndi_b * _mis(npdf0, npdf1) / jnp.maximum(npdf0, 1e-30)
+        ntp = [tp[a] * bsdf_b[a] * tscale for a in range(3)]
+
+        # --- Russian roulette (Iterative.comp:291-300) ---------------------
+        continuation = jnp.clip(
+            jnp.maximum(ntp[0], jnp.maximum(ntp[1], ntp[2])), 0.0, 1.0)
+        inv_c = 1.0 / jnp.maximum(continuation, 1e-12)
+        kill = (u_rr > continuation) | (i > max_bounces)
+        alive = alive & ~kill
+        st_alive[...] = jnp.where(alive, 1, 0)
+        for a in range(3):
+            st_tp[a] = ntp[a] * inv_c
+            st_o[a] = pos[a]
+            st_d[a] = inc[a]
+            st_lp[a] = pos[a]
+        st_pdf0[...] = npdf0
+        st_pdf1[...] = npdf1
+
+    def loop_body(i):
+        bounce(i)
+        return i + 1
+
+    def loop_cond(i):
+        any_alive = jnp.sum(st_alive[...]) > 0
+        return any_alive & (i <= max_bounces + 1)
+
+    jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
+
+    for a in range(3):
+        contrib_out[a] = st_ct[a]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    rays_out[...] = (jnp.where(lane == 0, ctr[0], 0)
+                     + jnp.where(lane == 1, ctr[1], 0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "stack_depth", "leaf_size", "max_bounces", "nee", "model", "n_mats",
+    "n_lights", "packet_size", "interpret"))
+def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
+               *, stack_depth: int, leaf_size: int, max_bounces: int,
+               nee: bool, model: str, n_mats: int, n_lights: int,
+               packet_size: int = 2048, interpret: bool = False):
+    """Run the megakernel over [N] primary rays.
+
+    Returns (contribution [N, 3], rays i32 scalar). N must divide
+    packet_size; seeds is [P] i32 (one PRNG stream per packet).
+    """
+    N = o.shape[0]
+    K = packet_size
+    if N % K != 0:
+        raise ValueError(f"N={N} must be a multiple of packet_size={K}")
+    P = N // K
+    G = K // LANES
+    oT = jnp.transpose(o, (1, 0)).reshape(3, P, G, LANES).transpose(
+        1, 0, 2, 3)
+    dT = jnp.transpose(d, (1, 0)).reshape(3, P, G, LANES).transpose(
+        1, 0, 2, 3)
+
+    kernel = functools.partial(
+        _mega_kernel, stack_depth=stack_depth, leaf_size=leaf_size,
+        max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
+        n_lights=n_lights)
+
+    ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, G, LANES), lambda p: (p, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def entry(seed_r, params_r, cdf_r, o_r, d_r, act_r, rows_r, mats_r,
+              lights_r, ct_o, rays_o, *scratch):
+        kernel(seed_r, params_r, cdf_r, o_r.at[0], d_r.at[0], act_r.at[0],
+               rows_r, mats_r, lights_r, ct_o.at[0], rays_o.at[0],
+               *scratch)
+
+    G_scr = lambda: pltpu.VMEM((G, LANES), jnp.float32)
+    G3_scr = lambda: pltpu.VMEM((3, G, LANES), jnp.float32)
+    outs = pl.pallas_call(
+        entry,
+        grid=(P,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  ray_spec, ray_spec, lane_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, LANES), lambda p: (p, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((P, 3, G, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
+                        G3_scr(), G3_scr(), G3_scr(), G3_scr(), G3_scr(),
+                        G_scr(), G_scr(),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        G_scr(),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        G3_scr(), G3_scr(),
+                        pltpu.VMEM((2, G, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                rows.size * rows.dtype.itemsize
+                + (mats.size + lights.size) * 4
+                + 40 * G * LANES * 4 + 8 * 1024 * 1024,
+                120 * 1024 * 1024)),
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), params, cdf, oT, dT,
+      active.reshape(P, G, LANES), rows, mats, lights)
+    ct, rays = outs
+    contribution = ct.transpose(0, 2, 3, 1).reshape(N, 3)
+    return contribution, jnp.sum(rays[:, 0, 0:2])
+
+
+_MEGA_STATICS = ("width", "height", "stack_depth", "leaf_size",
+                 "max_bounces", "nee", "model", "n_mats", "n_lights",
+                 "packet_size", "interpret")
+
+
+@functools.partial(jax.jit, static_argnames=_MEGA_STATICS)
+def render_sample_mega(scene, mega_tables, cam, pixel_x, pixel_y, key,
+                       *, width: int, height: int, stack_depth: int,
+                       leaf_size: int, max_bounces: int = 64,
+                       nee: bool = True, model: str = "trowbridge_reitz",
+                       n_mats: int = 1, n_lights: int = 1,
+                       packet_size: int = 2048, interpret: bool = False,
+                       sample_idx=0):
+    """Wavefront-compatible entry: raygen (identical jitter/lens threefry
+    draws to models/wavefront.py) + the megakernel. Returns
+    ([N, 3] contributions, rays i32)."""
+    import jax.random as jrandom
+
+    from gpupathtracer_tpu.math.camera import gen_rays
+
+    n = pixel_x.shape[0]
+    key, k_jitter, k_lens = jrandom.split(key, 3)
+    jitter = jrandom.uniform(k_jitter, (n, 2))
+    interp = (jnp.stack([pixel_x, pixel_y], axis=-1) + jitter) \
+        / jnp.array([width, height], jnp.float32)
+    lens_u = jrandom.uniform(k_lens, (n, 2))
+    ray_o, ray_d = gen_rays(cam, interp, lens_u)
+
+    K = min(packet_size, max(n, LANES))
+    pad = (-n) % K
+    if pad:
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3))], axis=0)
+        ray_d = jnp.concatenate(
+            [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))],
+            axis=0)
+    act = (jnp.arange(n + pad) < n)
+    P = (n + pad) // K
+    seeds = jrandom.randint(jrandom.fold_in(key, sample_idx), (P,),
+                            0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    mats, lights, cdf, params = mega_tables
+    contribution, rays = trace_mega(
+        scene.bvh.node_rows, mats, lights, cdf, params, ray_o, ray_d, act,
+        seeds, stack_depth=stack_depth, leaf_size=leaf_size,
+        max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
+        n_lights=n_lights, packet_size=K, interpret=interpret)
+    return contribution[:n], rays
+
+
+@functools.partial(jax.jit, static_argnames=_MEGA_STATICS + ("spp",))
+def render_sample_mega_batch(scene, mega_tables, cam, pixel_x, pixel_y,
+                             key, spp: int = 1, sample_idx=0, **statics):
+    """spp megakernel samples in ONE dispatch (fori over samples) — the
+    frame_batch analogue of models/wavefront.render_sample_batch."""
+    n = pixel_x.shape[0]
+
+    def body(i, carry):
+        acc, rays = carry
+        c, r = render_sample_mega(scene, mega_tables, cam, pixel_x,
+                                  pixel_y, jax.random.fold_in(key, i),
+                                  sample_idx=sample_idx + i, **statics)
+        return acc + c, rays + r
+
+    return jax.lax.fori_loop(
+        0, spp, body, (jnp.zeros((n, 3), jnp.float32), jnp.int32(0)))

@@ -142,6 +142,21 @@ class Renderer:
         else:
             self.bounce_traversal = cfg.bounce_traversal
 
+        # Megakernel (ops/megakernel.py): the whole bounce loop on-core for
+        # small untextured scenes — kills the ~20 ns/lane/bounce XLA glue
+        # (PERF.md small-scene decomposition). "auto" currently resolves
+        # to off pending the on-chip A/B; "on" forces it where eligible.
+        self.use_mega = False
+        if (cfg.megakernel == "on" and self.mesh is None
+                and self.traversal == "pallas"):
+            from gpupathtracer_tpu.ops.megakernel import (mega_eligible,
+                                                          pack_mega_tables)
+            if mega_eligible(scene, meta, textured=meta.has_textures,
+                             delta=getattr(meta, "has_delta", False),
+                             sun=cfg.sun_enabled, sampler=cfg.sampler):
+                self.use_mega = True
+                self.mega_tables = pack_mega_tables(scene)
+
         self.accum = jnp.zeros((self.n_rays, 3), jnp.float32)
         self.num_samples = 0
         self.base_key = jax.random.PRNGKey(cfg.seed)
@@ -267,6 +282,28 @@ class Renderer:
                       sun=self.cfg.sun_enabled,
                       sun_mode=self.cfg.sun_mode,
                       delta=getattr(self.meta, "has_delta", False))
+        if integrator in ("wavefront", "direct") and self.use_mega:
+            from gpupathtracer_tpu.ops.megakernel import (
+                render_sample_mega, render_sample_mega_batch)
+            mk = dict(width=self.pad_w, height=self.pad_h,
+                      stack_depth=self.meta.stack_depth,
+                      leaf_size=self.meta.leaf_size,
+                      max_bounces=(0 if integrator == "direct"
+                                   else self.cfg.max_bounces),
+                      nee=(True if integrator == "direct"
+                           else self.cfg.nee_enabled),
+                      model=self.cfg.microfacet,
+                      n_mats=self.meta.num_materials,
+                      n_lights=int(self.scene.light_rows.shape[0]),
+                      packet_size=self.cfg.pallas_packet_size,
+                      interpret=jax.default_backend() != "tpu")
+            if batch > 1:
+                return render_sample_mega_batch(
+                    self.scene, self.mega_tables, self.camera, px, py, key,
+                    spp=batch, sample_idx=self.num_samples, **mk)
+            return render_sample_mega(
+                self.scene, self.mega_tables, self.camera, px, py, key,
+                sample_idx=self.num_samples, **mk)
         if integrator == "wavefront":
             if batch > 1:
                 from gpupathtracer_tpu.models.wavefront import \

@@ -153,8 +153,15 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
                       cfg.stack_depth * 4)
     if wide.node_rows is None:
         from gpupathtracer_tpu.bvh.wide import pack_for_packets
+        # Shading-normal sign vs the geometric e1 x e2 (mesh.py flips the
+        # face normal toward the average vertex normal) — captured at hit
+        # time by the megakernel together with the material id.
+        gn = np.cross(soup.e1, soup.e2)
+        nsign = np.where(np.einsum("ij,ij->i", gn, soup.normal) < 0.0,
+                         -1.0, 1.0).astype(np.float32)
         wide = pack_for_packets(wide, soup.p0, soup.e1, soup.e2,
-                                leaf_size=cfg.leaf_size)
+                                leaf_size=cfg.leaf_size,
+                                tri_mat=soup.mat, tri_nsign=nsign)
     if wide.cut_entry is None:
         from gpupathtracer_tpu.bvh.treelet import build_treelet_cut
         cut_entry, cut_bounds = build_treelet_cut(

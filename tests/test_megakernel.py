@@ -1,0 +1,175 @@
+"""Megakernel integrator (ops/megakernel.py): statistical parity with the
+wavefront integrator.
+
+The two paths implement the SAME estimator (formulas cited to
+Iterative.comp in both) but draw per-bounce uniforms from different
+generators (threefry vs the TPU core PRNG), so parity is statistical:
+image means must agree within Monte-Carlo error at matched spp, and
+deterministic sub-quantities (hit classification via NEE-only direct
+lighting) must agree tightly.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+from gpupathtracer_tpu.math.camera import generate_image_plane
+from gpupathtracer_tpu.models.wavefront import render_sample
+from gpupathtracer_tpu.ops.megakernel import (mega_eligible,
+                                              pack_mega_tables,
+                                              render_sample_mega)
+from gpupathtracer_tpu.scene import load_scene
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    cfg = RenderConfig(scene_path="proc:cornell",
+                       skybox="GENERATE COLOR BLACK",
+                       width=16, height=16, cache_enabled=True)
+    cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                              fov=math.radians(45), aspect=1.0)
+    scene, meta = load_scene(cfg)
+    return cfg, scene, meta
+
+
+def _px(n, w):
+    idx = np.arange(n)
+    return (jnp.asarray((idx % w).astype(np.float32)),
+            jnp.asarray((idx // w).astype(np.float32)))
+
+
+def _render(fn, key_base, spp):
+    acc = None
+    for s in range(spp):
+        c, _ = fn(jax.random.fold_in(key_base, s), s)
+        acc = c if acc is None else acc + c
+    return np.asarray(acc) / spp
+
+
+def test_mega_eligibility(cornell):
+    cfg, scene, meta = cornell
+    assert mega_eligible(scene, meta, textured=False, delta=False,
+                         sun=False)
+    assert not mega_eligible(scene, meta, textured=True, delta=False,
+                             sun=False)
+
+
+def test_mega_direct_matches_wavefront(cornell):
+    """max_bounces=0 (direct lighting): the only randomness is pixel
+    jitter (IDENTICAL threefry draws in both paths) + the light-sample
+    uniforms, so at modest spp the per-pixel means converge tightly."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 256
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, max_bounces=0, nee=True)
+
+    def mega(key, s):
+        return render_sample_mega(scene, tables, cam, px, py, key,
+                                  n_mats=meta.num_materials,
+                                  n_lights=int(scene.light_rows.shape[0]),
+                                  packet_size=256, interpret=True,
+                                  sample_idx=s, **kw)
+
+    def wave(key, s):
+        return render_sample(scene, cam, px, py, key, model=cfg.microfacet,
+                             compaction=False, sample_idx=s, **kw)
+
+    spp = 48
+    img_m = _render(mega, jax.random.PRNGKey(5), spp)
+    img_w = _render(wave, jax.random.PRNGKey(5), spp)
+    assert np.isfinite(img_m).all()
+    # Direct light through one light quad: global mean within ~4%.
+    assert img_w.mean() > 0
+    assert abs(img_m.mean() - img_w.mean()) / img_w.mean() < 0.04
+    # Per-pixel: emission hits (the light quad) are deterministic given
+    # the shared jitter; everything else within MC noise of the
+    # light-point sample. Compare against a loose per-pixel envelope.
+    lum_m = img_m.mean(axis=1)
+    lum_w = img_w.mean(axis=1)
+    denom = np.maximum(lum_w, lum_w.mean() * 0.25)
+    assert (np.abs(lum_m - lum_w) / denom < 0.35).mean() > 0.95
+
+
+def test_mega_full_pt_statistical(cornell):
+    """Full path tracing (bounces + RR + MIS rewrite): image means agree
+    within Monte-Carlo error at matched spp."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 256
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, max_bounces=6, nee=True)
+
+    def mega(key, s):
+        return render_sample_mega(scene, tables, cam, px, py, key,
+                                  n_mats=meta.num_materials,
+                                  n_lights=int(scene.light_rows.shape[0]),
+                                  packet_size=256, interpret=True,
+                                  sample_idx=s, **kw)
+
+    def wave(key, s):
+        return render_sample(scene, cam, px, py, key, model=cfg.microfacet,
+                             compaction=False, sample_idx=s, **kw)
+
+    spp = 64
+    img_m = _render(mega, jax.random.PRNGKey(7), spp)
+    img_w = _render(wave, jax.random.PRNGKey(7), spp)
+    assert np.isfinite(img_m).all() and (img_m >= 0).all()
+    assert img_w.mean() > 0
+    # Global mean within 6% (MC sem of the mean at 64 spp x 256 px is
+    # ~1-2% on this scene; 6% catches any systematic estimator drift).
+    assert abs(img_m.mean() - img_w.mean()) / img_w.mean() < 0.06
+    # The indirect share (full - direct) must also agree: catches a
+    # broken MIS rewrite or RR that direct mode would hide.
+    assert img_m.mean() > img_w.mean() * 0.5
+
+
+def test_mega_rays_counter_and_padding(cornell):
+    """The ray counter counts bounce + live shadow rays; padded lanes
+    (n not a multiple of the packet) contribute nothing."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 200  # NOT a multiple of 128: exercises the padding path
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    c, rays = render_sample_mega(
+        scene, tables, cam, px, py, jax.random.PRNGKey(3),
+        width=16, height=16, stack_depth=meta.stack_depth,
+        leaf_size=meta.leaf_size, max_bounces=2, nee=True,
+        n_mats=meta.num_materials,
+        n_lights=int(scene.light_rows.shape[0]),
+        packet_size=128, interpret=True)
+    c = np.asarray(c)
+    assert c.shape == (n, 3) and np.isfinite(c).all()
+    assert c.mean() > 0
+    assert int(rays) >= n  # at least the primaries
+
+
+def test_mega_deterministic(cornell):
+    """Same key, same layout => bitwise-identical frame (the megakernel's
+    PRNG is seeded per packet from the threefry key)."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 256
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, max_bounces=3, nee=True,
+              n_mats=meta.num_materials,
+              n_lights=int(scene.light_rows.shape[0]),
+              packet_size=256, interpret=True)
+    a, _ = render_sample_mega(scene, tables, cam, px, py,
+                              jax.random.PRNGKey(11), **kw)
+    b, _ = render_sample_mega(scene, tables, cam, px, py,
+                              jax.random.PRNGKey(11), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

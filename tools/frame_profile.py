@@ -87,6 +87,12 @@ VARIANTS = {
                         compaction_divs=(2, 8, 32, 128)),
     "tsort-coarse4": dict(bounce_traversal="tsort", shadow_sort=True,
                           compaction_divs=(4, 16, 64, 256)),
+    # round-4 megakernel (ops/megakernel.py): whole bounce loop on-core
+    "mega": dict(megakernel="on"),
+    "mega-nonee": dict(megakernel="on", nee_enabled=False),
+    "mega-b0": dict(megakernel="on", max_bounces=0),
+    "mega-batch8": dict(megakernel="on", frame_batch=8),
+    "mega-bounces8": dict(megakernel="on", max_bounces=8),
 }
 
 names = _ARGS.variants.split(",")
