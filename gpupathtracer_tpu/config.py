@@ -80,6 +80,8 @@ class RenderConfig:
     sort_rays: bool = False                # bounce-wavefront coherence sort (alive-first)
     shadow_rev: bool = False               # trace NEE shadow rays from the light end
     shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
+    fused_pair: bool = False               # co-schedule 2 packets per Pallas grid step
+    #                                        (_kernel_pair; measured A/B knob)
     tsort_alternate: bool = False          # recompute the tsort perm on even bounces only
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
     megakernel: str = "off"                # "off" | "on" | "auto": run eligible

@@ -51,6 +51,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        nee: bool = True,
                        traversal: str = "packet",
                        bounce_traversal: str = "same",
+                       fused_pair: bool = False,
                        treelet_min: int = 1 << 15,
                        packet_size: int = 128,
                        textured: bool = False,
@@ -246,7 +247,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
             hit_s = trace_closest(scene, c.o[perm], c.d[perm], t_max_full,
                                   c.alive[perm], stack_depth=stack_depth,
                                   leaf_size=leaf_size, traversal=trav,
-                                  packet_size=packet_size)
+                                  packet_size=packet_size,
+                                  fused_pair=fused_pair)
             inv = jnp.argsort(perm)
             hit = type(hit_s)(t=hit_s.t[inv], prim=hit_s.prim[inv],
                               u=hit_s.u[inv], v=hit_s.v[inv])
@@ -256,11 +258,13 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                                       stack_depth=stack_depth,
                                       leaf_size=leaf_size,
                                       packet_size=max(packet_size, 128),
+                                      fused_pair=fused_pair,
                                       perm=shared_perm, inv=shared_inv)
         else:
             hit = trace_closest(scene, c.o, c.d, t_max_full, c.alive,
                                 stack_depth=stack_depth, leaf_size=leaf_size,
-                                traversal=trav, packet_size=packet_size)
+                                traversal=trav, packet_size=packet_size,
+                                fused_pair=fused_pair)
         miss = hit.prim < 0
         prim = jnp.maximum(hit.prim, 0)
 
@@ -374,14 +378,16 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                 occluded = trace_occluded_tsort(
                     scene, so, sd, st_, shadow_live, stack_depth=stack_depth,
                     leaf_size=leaf_size,
-                    packet_size=max(packet_size, 128), perm=shared_perm,
+                    packet_size=max(packet_size, 128),
+                    fused_pair=fused_pair, perm=shared_perm,
                     inv=shared_inv)
             else:
                 occluded = trace_occluded(scene, so, sd, st_, shadow_live,
                                           stack_depth=stack_depth,
                                           leaf_size=leaf_size,
                                           traversal=traversal,
-                                          packet_size=packet_size)
+                                          packet_size=packet_size,
+                                          fused_pair=fused_pair)
             contribution = contribution + jnp.where(
                 (shadow_live & ~occluded)[..., None],
                 ls.throughput * ls.emission, 0.0)
@@ -521,7 +527,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 _STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "bounce_traversal", "treelet_min", "packet_size",
+    "nee", "traversal", "bounce_traversal", "fused_pair", "treelet_min",
+    "packet_size",
     "textured", "mips", "sun", "sun_mode", "sort_rays", "shadow_rev",
     "shadow_sort", "tsort_alternate", "delta",
     "compaction", "compaction_divs", "compaction_min", "sampler",

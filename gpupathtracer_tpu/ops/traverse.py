@@ -237,7 +237,7 @@ def _pad_rays(o, d, t_max, active, multiple: int):
 
 def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
                 leaf_size: int, packet_size: int, any_hit_mode: bool,
-                interleave: int = 1):
+                interleave: int = 1, fused_pair: bool = False):
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     K = max(LANES, (min(packet_size, o.shape[0]) // LANES) * LANES)
     o, d, t_max, active, n = _pad_rays(o, d, t_max, active, K * interleave)
@@ -252,14 +252,16 @@ def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
         # bits push is ~3x cheaper per pop and ordering buys any-hit
         # nothing (measured 14.5 vs 5.0 Mrays/s incoherent, PERF.md r3).
         ordered=not any_hit_mode,
-        any_hit=any_hit_mode, interleave=interleave, interpret=interpret)
+        any_hit=any_hit_mode, interleave=interleave,
+        fused_pair=fused_pair, interpret=interpret)
     return Hit(t=t.reshape(-1)[:n], prim=prim.reshape(-1)[:n],
                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
 
 
 def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                   leaf_size: int, traversal: str = "packet",
-                  packet_size: int = 128, interleave: int = 1) -> Hit:
+                  packet_size: int = 128, interleave: int = 1,
+                  fused_pair: bool = False) -> Hit:
     """Dispatch between traversal implementations ("pallas" on-core kernel,
     "tsort" treelet-sorted packets, "treelet" subtree-binned rounds,
     "packet" XLA shared-stack packets, "perray" lockstep)."""
@@ -276,12 +278,14 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                                    stack_depth=stack_depth,
                                    leaf_size=leaf_size,
                                    packet_size=max(packet_size, 128),
-                                   interleave=interleave)
+                                   interleave=interleave,
+                                   fused_pair=fused_pair)
     if traversal == "pallas":
         return _pallas_hit(scene, o, d, t_max, active,
                            stack_depth=stack_depth, leaf_size=leaf_size,
                            packet_size=packet_size, any_hit_mode=False,
-                           interleave=interleave)
+                           interleave=2 if fused_pair else interleave,
+                           fused_pair=fused_pair)
     if traversal == "packet":
         if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:
             # The XLA packet kernel is 8-wide, single-row-leaf only;
@@ -303,7 +307,8 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
 
 def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                    leaf_size: int, traversal: str = "packet",
-                   packet_size: int = 128, interleave: int = 1):
+                   packet_size: int = 128, interleave: int = 1,
+                   fused_pair: bool = False):
     """Dispatch any-hit/occlusion query."""
     traversal = resolve_traversal(traversal)
     if traversal == "treelet":
@@ -318,12 +323,14 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                                     stack_depth=stack_depth,
                                     leaf_size=leaf_size,
                                     packet_size=max(packet_size, 128),
-                                    interleave=interleave)
+                                    interleave=interleave,
+                                    fused_pair=fused_pair)
     if traversal == "pallas":
         hit = _pallas_hit(scene, o, d, t_max, active,
                           stack_depth=stack_depth, leaf_size=leaf_size,
                           packet_size=packet_size, any_hit_mode=True,
-                          interleave=interleave)
+                          interleave=2 if fused_pair else interleave,
+                          fused_pair=fused_pair)
         return hit.prim >= 0
     if traversal == "packet":
         if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:

@@ -96,8 +96,11 @@ def _sort_perm(cut_bounds, o, d, t_max, active, key_mode: str = "top2",
 
 def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
            packet_size: int, any_hit: bool, interleave: int = 1,
+           fused_pair: bool = False,
            kernel: str = "packet", key_mode: str = "top2",
            perm=None, inv=None, interpret: bool | None = None):
+    if fused_pair:
+        interleave = 2
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
     if kernel == "subpacket":
         # Sub-packets (one independent 128-ray packet per sublane row,
@@ -155,7 +158,8 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
             t_s.reshape(P, K), a_s.reshape(P, K), arity=arity,
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
             ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
-            interleave=interleave, interpret=interpret)
+            interleave=interleave, fused_pair=fused_pair,
+            interpret=interpret)
     # Single-gather unpermute: pack (t, prim-bits, u, v) as one [N, 4] row
     # and gather by the INVERSE permutation (cheaper than scattering).
     res = jnp.stack([t.reshape(NP)[:n],
@@ -170,7 +174,8 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
 
 def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                         leaf_size: int, packet_size: int = 2048,
-                        interleave: int = 1, kernel: str = "packet",
+                        interleave: int = 1, fused_pair: bool = False,
+                        kernel: str = "packet",
                         key_mode: str = "top2", perm=None, inv=None,
                         interpret: bool | None = None) -> Hit:
     """Closest-hit with treelet-sorted packets. Same contract as
@@ -179,18 +184,21 @@ def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,
     rays and pay the inverse argsort once)."""
     return _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                   leaf_size=leaf_size, packet_size=packet_size,
-                  any_hit=False, interleave=interleave, kernel=kernel,
+                  any_hit=False, interleave=interleave,
+                  fused_pair=fused_pair, kernel=kernel,
                   key_mode=key_mode, perm=perm, inv=inv, interpret=interpret)
 
 
 def trace_occluded_tsort(scene, o, d, t_max, active, *, stack_depth: int,
                          leaf_size: int, packet_size: int = 2048,
-                         interleave: int = 1, kernel: str = "packet",
+                         interleave: int = 1, fused_pair: bool = False,
+                         kernel: str = "packet",
                          key_mode: str = "top2", perm=None, inv=None,
                          interpret: bool | None = None):
     """Occlusion query with treelet-sorted packets. Returns occluded [N]."""
     hit = _trace(scene, o, d, t_max, active, stack_depth=stack_depth,
                  leaf_size=leaf_size, packet_size=packet_size,
-                 any_hit=True, interleave=interleave, kernel=kernel,
+                 any_hit=True, interleave=interleave,
+                 fused_pair=fused_pair, kernel=kernel,
                  key_mode=key_mode, perm=perm, inv=inv, interpret=interpret)
     return hit.prim >= 0

@@ -275,6 +275,7 @@ class Renderer:
                       model=self.cfg.microfacet,
                       traversal=self.traversal,
                       bounce_traversal=self.bounce_traversal,
+                      fused_pair=self.cfg.fused_pair,
                       treelet_min=self.cfg.treelet_min,
                       packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,

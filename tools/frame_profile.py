@@ -93,6 +93,11 @@ VARIANTS = {
     "mega-b0": dict(megakernel="on", max_bounces=0),
     "mega-batch8": dict(megakernel="on", frame_batch=8),
     "mega-bounces8": dict(megakernel="on", max_bounces=8),
+    # fused-pair pop pairing (two packets per grid step, one region per
+    # phase pair — the pop-latency-chain lever)
+    "fpair": dict(bounce_traversal="same", fused_pair=True),
+    "tsort-fpair": dict(bounce_traversal="tsort", shadow_sort=True,
+                        fused_pair=True),
 }
 
 names = _ARGS.variants.split(",")
