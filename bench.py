@@ -107,13 +107,15 @@ def main() -> None:
     # reproduced the standalone number, PERF.md session 7). Small frames
     # are the most sensitive, so they go before the heavy sections.
 
-    def _proc_fps(scene, w, h, integrator, max_bounces, frame_batch=1):
+    def _proc_fps(scene, w, h, integrator, max_bounces, frame_batch=1,
+                  **cfg_kw):
         from gpupathtracer_tpu.config import CameraConfig, RenderConfig
         from gpupathtracer_tpu.scene.procedural import default_camera
         c = RenderConfig(scene_path=scene, skybox="GENERATE COLOR BLACK",
                          width=w, height=h, integrator=integrator,
                          max_bounces=max_bounces, ray_chunk=1 << 21,
-                         cache_enabled=True, frame_batch=frame_batch)
+                         cache_enabled=True, frame_batch=frame_batch,
+                         **cfg_kw)
         pos, yaw, pitch, fov, aperture, focus = default_camera(scene)
         c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
                                 fov=math.radians(fov), aspect=w / h,
@@ -130,6 +132,36 @@ def main() -> None:
         gc.collect()
         return statistics.median(meds)
 
+    def _probe_best(label, builders, frames=3):
+        """Same-session integrator probe: time a few frames per variant,
+        return (winner key, {key: s/frame}). A variant that fails to
+        build or compile is skipped with a note — the bench must finish
+        on the default path no matter what (round-4 rule: the BENCH file
+        self-documents which path won so the choice is measured, not
+        assumed)."""
+        out = {}
+        best = None
+        for key, build in builders.items():
+            try:
+                rr = build()
+                rr.render_frame(sync=True)  # compile outside the timing
+                rr.reset_samples()
+                t0 = time.time()
+                for i in range(frames):
+                    rr.render_frame(sync=(i == frames - 1))
+                dt = (time.time() - t0) / frames
+                out[key] = round(dt, 4)
+                if best is None or dt < out[best]:
+                    best = key
+                del rr
+                gc.collect()
+            except Exception as e:  # compile/VMEM failures degrade politely
+                out[key] = None
+                print(f"# probe {label}/{key} FAILED: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+        print(f"# probe {label}: {out} -> {best}", file=sys.stderr)
+        return best or next(iter(builders)), out
+
     if not quick:
         table_fps = _proc_fps("proc:table", 800, 600, "direct", 0)
         print(f"# table direct 800x600: {table_fps:.2f} fps "
@@ -142,10 +174,24 @@ def main() -> None:
         print(f"# table direct 800x600 batched x8: {table_spp:.2f} spp/s",
               file=sys.stderr)
         extra["table_direct_batched_spp_s"] = round(table_spp, 2)
+        # Config 2 (full path tracing): measured BOTH through the XLA
+        # wavefront and the round-4 megakernel; the headline takes the
+        # winner and both numbers are recorded.
         table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
+        extra["table_pt_fps_wavefront"] = round(table_pt, 2)
+        try:
+            table_pt_mega = _proc_fps("proc:table", 800, 600, "wavefront",
+                                      64, megakernel="on")
+            extra["table_pt_fps_mega"] = round(table_pt_mega, 2)
+        except Exception as e:
+            print(f"# table mega FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            table_pt_mega = 0.0
+        table_pt = max(table_pt, table_pt_mega)
         print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
-              f"(reference: 45 fps progressive on a GTX 980)",
-              file=sys.stderr)
+              f"(wavefront {extra['table_pt_fps_wavefront']}, mega "
+              f"{extra.get('table_pt_fps_mega')}; reference: 45 fps "
+              f"progressive on a GTX 980)", file=sys.stderr)
         extra["table_pt_fps"] = round(table_pt, 2)
         bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
         print(f"# bunny direct 512x512 (config 1): {bunny_fps:.2f} fps",
@@ -171,8 +217,22 @@ def main() -> None:
 
     # --- headline: Sponza-class 1080p NEE real-time (config 3) ------------
     width, height = (640, 360) if quick else (1920, 1080)
+    # Round-4 integrator probe: default (tsort wavefront) vs fused-pair
+    # pops vs the megakernel, a few frames each — the headline runs on the
+    # measured winner and the probe numbers ship in extra["probes"].
+    sponza_variants = {
+        "default": lambda: Renderer(_sponza_cfg(width, height)),
+        "fpair": lambda: Renderer(_sponza_cfg(width, height,
+                                              fused_pair=True)),
+        "mega": lambda: Renderer(_sponza_cfg(width, height,
+                                             megakernel="on")),
+    }
+    best_sponza, probe_sponza = _probe_best("sponza", sponza_variants,
+                                            frames=2)
+    extra.setdefault("probes", {})["sponza"] = probe_sponza
+    extra["probes"]["sponza_winner"] = best_sponza
     t0 = time.time()
-    r = Renderer(_sponza_cfg(width, height))
+    r = sponza_variants[best_sponza]()
     build_s = time.time() - t0
     print(f"# scene: {r.meta.bvh_stats.report()} (total {build_s:.1f}s)",
           file=sys.stderr)
@@ -225,7 +285,33 @@ def main() -> None:
         bcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
                                    fov=math.radians(fov), aspect=bw / bh,
                                    aperture=aperture, focal_distance=focus)
-        rb = Renderer(bcfg)
+        # Integrator probe at the FULL-fidelity resolution decides the
+        # path for both converged runs (the 1024-spp run is ~400 s on the
+        # loser; the probe costs a few frames).
+        import dataclasses as _dc
+
+        def _bath_cfg(w_, h_, **kw):
+            c = _dc.replace(bcfg, width=w_, height=h_, **kw)
+            c.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
+                                    fov=math.radians(fov), aspect=w_ / h_,
+                                    aperture=aperture, focal_distance=focus)
+            return c
+
+        bath_variants = {
+            "wavefront": lambda: Renderer(_bath_cfg(1280, 720)),
+            "fpair": lambda: Renderer(_bath_cfg(1280, 720,
+                                                fused_pair=True)),
+            "mega": lambda: Renderer(_bath_cfg(1280, 720,
+                                               megakernel="on")),
+        }
+        best_bath, probe_bath = _probe_best("bathroom", bath_variants,
+                                            frames=3)
+        extra.setdefault("probes", {})["bathroom"] = probe_bath
+        extra["probes"]["bathroom_winner"] = best_bath
+        bath_kw = {"wavefront": {}, "fpair": {"fused_pair": True},
+                   "mega": {"megakernel": "on"}}[best_bath]
+
+        rb = Renderer(_bath_cfg(bw, bh, **bath_kw))
         rb.render_frame(sync=True)  # compile outside the timed region
         rb.reset_samples()
         spp = 256
@@ -245,16 +331,7 @@ def main() -> None:
         # Config 4 at the reference's own fidelity (README.md:45-46 +
         # Program.cpp:22-23): 1280x720, 1024 spp, whatever it costs.
         fw, fh = 1280, 720
-        fcfg = RenderConfig(scene_path="proc:bathroom",
-                            skybox="GENERATE COLOR BLACK",
-                            width=fw, height=fh, integrator="wavefront",
-                            microfacet="beckmann",  # config-4 BSDF
-                            max_bounces=64, ray_chunk=1 << 21,
-                            cache_enabled=True)
-        fcfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
-                                   fov=math.radians(fov), aspect=fw / fh,
-                                   aperture=aperture, focal_distance=focus)
-        rf = Renderer(fcfg)
+        rf = Renderer(_bath_cfg(fw, fh, **bath_kw))
         rf.render_frame(sync=True)
         rf.reset_samples()
         spp = 1024
