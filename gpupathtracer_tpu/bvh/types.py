@@ -81,6 +81,13 @@ class WideBVH(NamedTuple):
     packet_entry: np.ndarray = None  # [W, 8] i32 entries (merged-row form)
     cut_entry: np.ndarray = None     # [C] i32 treelet roots (bvh/treelet.py)
     cut_bounds: np.ndarray = None    # [C, 6] f32 treelet root bounds
+    # Dense cluster-leaf layout (bvh/cluster.py): when present, node_rows
+    # is the CLUSTER top tree (leaf entries = -(cluster_idx << 4 | 1) - 1)
+    # and the Pallas kernel's leaf phase runs the MXU dense intersector
+    # over blocks of cluster_rows; prim ids come back cluster-LOCAL
+    # (cidx * Tc + slot) and are remapped through cluster_refs.
+    cluster_rows: np.ndarray = None  # [Ncl*8, 3*Tc] f32 inverse-matrix blocks
+    cluster_refs: np.ndarray = None  # [Ncl*Tc] i32 slot -> global prim id
 
     @property
     def num_nodes(self) -> int:

@@ -69,6 +69,7 @@ def build_config(args) -> "RenderConfig":
     cfg.partition_samples = args.partition_samples
     cfg.partition_routing = args.partition_routing
     cfg.mip_levels = args.mip_levels
+    cfg.cluster_tris = args.cluster_tris
     if args.chunk:
         cfg.ray_chunk = args.chunk
     return cfg
@@ -110,6 +111,10 @@ def main(argv=None) -> int:
     p.add_argument("--mip-levels", type=int, default=1,
                    help="texture mip pyramid depth (>1 enables trilinear "
                         "filtering with ray-cone LOD)")
+    p.add_argument("--cluster-tris", type=int, default=0,
+                   help="dense cluster leaves: subtrees of <= this many "
+                        "tris (multiple of 128) become single MXU-"
+                        "intersected pops (bvh/cluster.py)")
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="pixel jitter: threefry or R2 low-discrepancy")
     p.add_argument("--megakernel", default="off",

@@ -72,6 +72,10 @@ class RenderConfig:
     # on TPU and shrink the merged table ~7x.
     leaf_size: int = 10                    # max triangles per wide-BVH leaf
     force_leaf: bool = True                # pack leaves to leaf_size unconditionally
+    cluster_tris: int = 0                  # >0 (multiple of 128): dense cluster
+    #                                        leaves — subtrees of <= this many tris
+    #                                        become single MXU-intersected pops
+    #                                        (bvh/cluster.py; pallas/tsort paths only)
     reinsert_rounds: int = 0               # Bittner-2013 insertion optimizer passes
     #                                        (the pass BVH.cpp:2303-2397 stubbed out)
     traversal: str = "auto"                # "auto" | "pallas" (on-core kernel) | "packet" | "perray"

@@ -47,16 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def pack_dense_tris(tri_geom) -> tuple:
-    """Precompute the inverse-matrix operands from (p0, e1, e2) rows.
+def inverse_rows(tri_geom):
+    """Rows A/B/C of M^-1 (M = [e1 e2 n]) per triangle, f32.
 
-    Returns (wd [3, 3*Tp], wo [4, 3*Tp]) with Tp = T padded to a 512
-    multiple; the A/B/C blocks are laid out as [A | B | C] along lanes.
-    Degenerate / padding triangles get all-zero columns => den = 0,
-    t = inf, never valid.
+    Returns (A, B, C, p0) each [T, 3]; degenerate triangles get all-zero
+    rows (den = 0 => 0/0 = NaN fails every hit comparison).
     """
     tg = np.asarray(tri_geom, np.float64)  # f64 inverse for stability
-    T = tg.shape[0]
     p0, e1, e2 = tg[:, 0:3], tg[:, 3:6], tg[:, 6:9]
     n = np.cross(e1, e2)
     # M columns = (e1, e2, n); det(M) = |n|^2 (n orthogonal to e1, e2).
@@ -71,6 +68,21 @@ def pack_dense_tris(tri_geom) -> tuple:
     A[~ok] = 0.0
     B[~ok] = 0.0
     C[~ok] = 0.0
+    return (A.astype(np.float32), B.astype(np.float32),
+            C.astype(np.float32), p0.astype(np.float32))
+
+
+def pack_dense_tris(tri_geom) -> tuple:
+    """Precompute the inverse-matrix operands from (p0, e1, e2) rows.
+
+    Returns (wd [3, 3*Tp], wo [4, 3*Tp]) with Tp = T padded to a 512
+    multiple; the A/B/C blocks are laid out as [A | B | C] along lanes.
+    Degenerate / padding triangles get all-zero columns => den = 0,
+    t = inf, never valid.
+    """
+    T = np.asarray(tri_geom).shape[0]
+    A, B, C, p0 = inverse_rows(tri_geom)
+    A, B, C, p0 = (x.astype(np.float64) for x in (A, B, C, p0))
 
     Tp = -(-max(T, 1) // 512) * 512
     wd = np.zeros((3, 3 * Tp), np.float32)

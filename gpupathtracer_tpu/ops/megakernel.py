@@ -61,6 +61,9 @@ def mega_eligible(scene, meta, *, textured: bool, delta: bool, sun: bool,
     return (not textured and not delta and not sun
             and sampler == "random"
             and const_env
+            # Cluster scenes replace the MT-leaf node_rows this kernel's
+            # leaf phase decodes (bvh/cluster.py).
+            and getattr(scene.bvh, "cluster_rows", None) is None
             and meta.num_materials <= 64
             and scene.light_rows.shape[0] <= 64
             and scene.bvh.node_rows.size

@@ -304,6 +304,209 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                              + jnp.where(lane == 1, ctr_ref[1], 0))
 
 
+def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
+                    rows_ref, cl_ref,
+                    t_out, prim_out, u_out, v_out, stats_out,
+                    stack, sp_ref, clbuf, sem,
+                    *, stack_depth: int, tc: int, any_hit: bool,
+                    table_in_vmem: bool, cl_in_vmem: bool, ordered: bool,
+                    arity: int = 8):
+    """Single-pop traversal with DENSE CLUSTER leaves on the MXU.
+
+    Node phase = _kernel's (8-child slab tests, ordered or packed-bits
+    push). Leaf phase: the entry encodes a CLUSTER index (bvh/cluster.py);
+    its [8, 3*tc] inverse-matrix block is fetched and the whole packet is
+    intersected against all tc triangles as two K=3/K=4 matmuls per
+    128-ray tile (MXU) + a ~20-op VPU epilogue with a running argmin —
+    one pop replaces the subtree's ~tc/leaf_size Moller-Trumbore leaf
+    pops and its internal-node pops (VERDICT r3 #1/#3; the reference's
+    unused Arenberg form, src/shaders/common/Geometry.glsl:279-310).
+
+    prim_out is cluster-LOCAL: cidx * tc + slot. Callers remap through
+    cluster_refs (one [N] gather per trace).
+    """
+    G = o_ref.shape[1]
+
+    t_out[...] = tmax_ref[...]
+    prim_out[...] = jnp.full((G, LANES), -1, jnp.int32)
+    u_out[...] = jnp.zeros((G, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((G, LANES), jnp.float32)
+
+    root = root_ref[pl.program_id(0)]
+    stack[0] = root
+    if stats_out is not None:
+        ctr_ref = stats_out[1]
+        ctr_ref[0] = 0  # node pops
+        ctr_ref[1] = 0  # cluster pops
+    any_active = ((jnp.sum(act_ref[...].astype(jnp.int32)) > 0)
+                  & (root != _INVALID))
+
+    def body(carry):
+        sp, slot = carry
+        entry = stack[sp - 1]
+        sp = sp - 1
+        is_leaf = entry < 0
+        packed = jnp.where(is_leaf, -(entry + 1), 0)
+        cidx = packed >> 4
+        nidx = jnp.maximum(entry, 0)
+
+        act = act_ref[...]
+        rays_on = act & (prim_out[...] < 0) if any_hit else act
+
+        sp_ref[0] = sp
+        if stats_out is not None:
+            which = jnp.where(is_leaf, 1, 0)
+            ctr_ref[which] = ctr_ref[which] + 1
+
+        # ---- node phase (identical to _kernel's) -------------------------
+        @pl.when(jnp.logical_not(is_leaf))
+        def _():
+            row = rows_ref[pl.ds(nidx, 1), :]        # top trees stay tiny
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
+
+            def bv(l):
+                return rowG[:, l:l + 1]
+
+            o = o_ref[...]
+            inv = inv_ref[...]
+            t_cur = t_out[...]
+            on = rays_on
+            oi = [o[a] * inv[a] for a in range(3)]
+            hits = []
+            tmins = []
+            for j in range(arity):
+                tmin = None
+                tmax_ = None
+                for a in range(3):
+                    lo = bv(j * 6 + a)
+                    hi = bv(j * 6 + 3 + a)
+                    t0 = lo * inv[a] - oi[a]
+                    t1 = hi * inv[a] - oi[a]
+                    lo_t = jnp.minimum(t0, t1)
+                    hi_t = jnp.maximum(t0, t1)
+                    tmin = lo_t if tmin is None else jnp.maximum(tmin, lo_t)
+                    tmax_ = hi_t if tmax_ is None else jnp.minimum(tmax_,
+                                                                   hi_t)
+                hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                            & (tmin < t_cur) & on)
+                tmins.append(tmin)
+            if not ordered:
+                h8 = jnp.stack(hits).astype(jnp.int32)      # [A, G, 128]
+                cnt = jnp.sum(jnp.sum(h8, axis=2), axis=1,
+                              keepdims=True)                # [A, 1]
+                w = jnp.left_shift(1, jax.lax.broadcasted_iota(
+                    jnp.int32, (arity, 1), 0))
+                bits = jnp.sum(jnp.where(cnt > 0, w, 0))    # scalar
+                new_sp = sp
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
+                    pushed = (jax.lax.shift_right_logical(bits, j) & 1 > 0) \
+                        & (centry != _INVALID)
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+            else:
+                h8 = jnp.stack(hits)                        # [A, G, 128]
+                t8 = jnp.stack(tmins)
+                keyv = jnp.min(jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                               axis=1, keepdims=True)       # [A, 1]
+                keys = [keyv[j, 0] for j in range(arity)]
+                pairs = []
+                for j in range(arity):
+                    centry = row_i[0, 6 * arity + j]
+                    k = jnp.where(centry == _INVALID, jnp.inf, keys[j])
+                    pairs.append((k, centry))
+                for a, b in _sort_net(arity):
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb  # descending: nearest pushed last
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+                new_sp = sp
+                for k, centry in pairs:
+                    pushed = k < jnp.inf
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+
+        # ---- cluster phase ------------------------------------------------
+        @pl.when(is_leaf)
+        def _():
+            if cl_in_vmem:
+                blk = cl_ref[pl.ds(cidx * 8, 8), :]      # [8, 3*tc]
+            else:
+                cp = pltpu.make_async_copy(cl_ref.at[pl.ds(cidx * 8, 8)],
+                                           clbuf, sem)
+                cp.start()
+                cp.wait()
+                blk = clbuf[...]
+            wd = blk[0:3, :]                             # [3, 3*tc]
+            wo4 = blk[3:7, :]                            # [4, 3*tc]
+            o = o_ref[...]
+            d = d_ref[...]
+            ones = jnp.ones((1, LANES), jnp.float32)
+            subi = jax.lax.broadcasted_iota(jnp.int32, (tc, LANES), 0)
+            dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both
+            for g in range(G):
+                dg = d[:, g, :]                          # [3, 128]
+                og4 = jnp.concatenate([o[:, g, :], ones], axis=0)  # [4,128]
+                # All six dot products for every (ray, tri) pair in two
+                # matmuls; K=3/4 caps MXU utilization (~2%) — the win is
+                # pop-count collapse + MXU/VPU concurrency, not peak.
+                md = jax.lax.dot_general(
+                    wd, dg, dn, preferred_element_type=jnp.float32)
+                mo = jax.lax.dot_general(
+                    wo4, og4, dn, preferred_element_type=jnp.float32)
+                da, db, dc = md[0:tc], md[tc:2 * tc], md[2 * tc:3 * tc]
+                oa, ob, num = mo[0:tc], mo[tc:2 * tc], mo[2 * tc:3 * tc]
+                t = num / dc                             # [tc, 128]
+                uu = oa + t * da
+                vv = ob + t * db
+                tb = t_out[g:g + 1, :]                   # [1, 128]
+                on_g = rays_on[g:g + 1, :]
+                # Padding columns: dc = num = 0 => t = NaN, all False.
+                valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
+                         & (t > 0.0) & (t < tb) & on_g)
+                score = jnp.where(valid, t, jnp.inf)
+                tmin = jnp.min(score, axis=0, keepdims=True)   # [1, 128]
+                improved = tmin < tb
+                sel = valid & (score <= tmin)
+                idx = jnp.min(jnp.where(sel, subi, tc), axis=0,
+                              keepdims=True)             # [1, 128]
+                onehot = sel & (subi == idx)
+                uw = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0,
+                             keepdims=True)
+                vw = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0,
+                             keepdims=True)
+                t_out[g:g + 1, :] = jnp.where(improved, tmin, tb)
+                prim_out[g:g + 1, :] = jnp.where(
+                    improved, cidx * tc + idx, prim_out[g:g + 1, :])
+                u_out[g:g + 1, :] = jnp.where(improved, uw,
+                                              u_out[g:g + 1, :])
+                v_out[g:g + 1, :] = jnp.where(improved, vw,
+                                              v_out[g:g + 1, :])
+
+        sp = sp_ref[0]
+        if any_hit:
+            done = jnp.sum((act & (prim_out[...] < 0))
+                           .astype(jnp.int32)) == 0
+            sp = jnp.where(done, 0, sp)
+
+        return sp, 1 - slot
+
+    sp0 = jnp.where(any_active, 1, 0)
+    jax.lax.while_loop(lambda c: c[0] > 0, body, (sp0, jnp.int32(0)))
+    if stats_out is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
+                             + jnp.where(lane == 1, ctr_ref[1], 0))
+
+
 def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                   rows_ref,
                   t_out, prim_out, u_out, v_out, stats_out,
@@ -1004,7 +1207,8 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True,
                     multi_pop: int = 1, interleave: int = 1,
-                    arity: int = 8, fused_pair: bool = False):
+                    arity: int = 8, fused_pair: bool = False,
+                    cluster_rows=None):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
@@ -1013,6 +1217,10 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
     overlapped; see _kernel_multi).
     interleave: W independent packets co-scheduled per grid step (their
     pop latency chains overlap; see _kernel_ilv). Requires P % W == 0.
+    cluster_rows: optional [Ncl*8, 3*Tc] dense cluster-leaf table
+    (bvh/cluster.py) — `rows` must then be the cluster TOP tree and the
+    returned prim ids are cluster-local (cidx * Tc + slot; remap through
+    cluster_refs). Single-pop kernel only.
     Returns (t, prim, u, v) each [P, K]; with_stats appends a [P, 2] i32
     (node pops, leaf pops) per packet — the profiling counter behind the
     PERF.md pop-cost model (with interleave > 1 the counters aggregate the
@@ -1035,6 +1243,14 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
                          "by the single-pop kernel only")
     if fused_pair and interleave != 2:
         raise ValueError("fused_pair requires interleave=2")
+    if cluster_rows is not None:
+        if multi_pop > 1 or interleave > 1 or fused_pair:
+            raise ValueError("cluster leaves are single-pop kernel only")
+        return _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max,
+                                 active, roots, P=P, K=K, G=G,
+                                 stack_depth=stack_depth, any_hit=any_hit,
+                                 interpret=interpret, with_stats=with_stats,
+                                 ordered=ordered, arity=arity)
     if interleave > 1:
         return _traverse_ilv(rows, oT, dT, invT, t_max, active, roots,
                              P=P, K=K, G=G, stack_depth=stack_depth,
@@ -1187,6 +1403,89 @@ def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
     )(roots.astype(jnp.int32), oT.reshape(P, 3, G, LANES),
       dT.reshape(P, 3, G, LANES), invT.reshape(P, 3, G, LANES),
       t_max.reshape(P, G, LANES), active.reshape(P, G, LANES), rows)
+    t, prim, u, v = outs[:4]
+    result = (t.reshape(P, K), prim.reshape(P, K),
+              u.reshape(P, K), v.reshape(P, K))
+    if with_stats:
+        return result + (outs[4][:, 0, 0:2],)
+    return result
+
+
+def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
+                      roots, *, P, K, G, stack_depth, any_hit, interpret,
+                      with_stats, ordered, arity: int = 8):
+    """pallas_call plumbing for the dense cluster-leaf kernel."""
+    tc3 = cluster_rows.shape[1]
+    if tc3 % (3 * LANES) != 0:
+        raise ValueError(f"cluster row width {tc3} must be 3*Tc, "
+                         f"Tc a multiple of {LANES}")
+    tc = tc3 // 3
+    node_bytes = rows.size * rows.dtype.itemsize
+    cl_bytes = cluster_rows.size * cluster_rows.dtype.itemsize
+    if node_bytes > VMEM_TABLE_LIMIT:
+        raise ValueError("cluster top tree exceeds the VMEM table budget")
+    cl_in_vmem = node_bytes + cl_bytes <= VMEM_TABLE_LIMIT
+
+    kernel = functools.partial(_kernel_cluster, stack_depth=stack_depth,
+                               tc=tc, any_hit=any_hit, table_in_vmem=True,
+                               cl_in_vmem=cl_in_vmem, ordered=ordered,
+                               arity=arity)
+    grid = (P,)
+    ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, G, LANES), lambda p: (p, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def out_sds(dtype):
+        return jax.ShapeDtypeStruct((P, G, LANES), dtype)
+
+    out_specs = [lane_spec] * 4
+    out_shape = [out_sds(jnp.float32), out_sds(jnp.int32),
+                 out_sds(jnp.float32), out_sds(jnp.float32)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 1, LANES), lambda p: (p, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32))
+
+    def entry(root_r, o_r, d_r, i_r, tm_r, ac_r, rows_r, cl_r, t_o, p_o,
+              u_o, v_o, *rest):
+        if with_stats:
+            st_o, stack, spr, clb, sm, ctr = rest
+            st_view = (st_o.at[0], ctr)
+        else:
+            stack, spr, clb, sm = rest
+            st_view = None
+        kernel(root_r, o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0],
+               ac_r.at[0], rows_r, cl_r, t_o.at[0], p_o.at[0], u_o.at[0],
+               v_o.at[0], st_view, stack, spr, clb, sm)
+
+    outs = pl.pallas_call(
+        entry,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  ray_spec, ray_spec, ray_spec, lane_spec, lane_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=(pltpu.VMEM if cl_in_vmem
+                                             else pl.ANY))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((8, 3 * tc), jnp.float32),
+                        pltpu.SemaphoreType.DMA]
+                   + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                node_bytes + (cl_bytes if cl_in_vmem else 0)
+                # per-pop intermediates: two [3*tc, 128] matmul results
+                # + epilogue temporaries, plus ray/output blocks + slack.
+                + 2 * 3 * tc * LANES * 4 * 4
+                + 64 * G * LANES * 4 + 4 * 1024 * 1024,
+                120 * 1024 * 1024)),
+        interpret=interpret,
+    )(roots.astype(jnp.int32), oT, dT, invT,
+      t_max.reshape(P, G, LANES),
+      active.reshape(P, G, LANES), rows, cluster_rows)
     t, prim, u, v = outs[:4]
     result = (t.reshape(P, K), prim.reshape(P, K),
               u.reshape(P, K), v.reshape(P, K))

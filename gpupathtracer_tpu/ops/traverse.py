@@ -235,10 +235,24 @@ def _pad_rays(o, d, t_max, active, multiple: int):
     return o, d, t_max, active, n
 
 
+def remap_cluster_prims(scene, prim):
+    """Cluster-local prim ids (cidx * Tc + slot) -> global triangle ids.
+
+    The dense cluster kernel (bvh/cluster.py + _kernel_cluster) returns
+    slot-local ids; one [N] gather through cluster_refs resolves them.
+    Padding slots never win a hit, so the clip is only gather safety."""
+    refs = scene.bvh.cluster_refs
+    return jnp.where(prim >= 0,
+                     refs[jnp.clip(prim, 0, refs.shape[0] - 1)], -1)
+
+
 def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
                 leaf_size: int, packet_size: int, any_hit_mode: bool,
                 interleave: int = 1, fused_pair: bool = False):
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
+    cluster = getattr(scene.bvh, "cluster_rows", None) is not None
+    if cluster:  # dense cluster leaves: single-pop kernel only
+        interleave, fused_pair = 1, False
     K = max(LANES, (min(packet_size, o.shape[0]) // LANES) * LANES)
     o, d, t_max, active, n = _pad_rays(o, d, t_max, active, K * interleave)
     P = o.shape[0] // K
@@ -253,8 +267,12 @@ def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
         # nothing (measured 14.5 vs 5.0 Mrays/s incoherent, PERF.md r3).
         ordered=not any_hit_mode,
         any_hit=any_hit_mode, interleave=interleave,
-        fused_pair=fused_pair, interpret=interpret)
-    return Hit(t=t.reshape(-1)[:n], prim=prim.reshape(-1)[:n],
+        fused_pair=fused_pair, interpret=interpret,
+        cluster_rows=scene.bvh.cluster_rows if cluster else None)
+    prim = prim.reshape(-1)[:n]
+    if cluster:
+        prim = remap_cluster_prims(scene, prim)
+    return Hit(t=t.reshape(-1)[:n], prim=prim,
                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
 
 
@@ -287,10 +305,12 @@ def trace_closest(scene, o, d, t_max, active, *, stack_depth: int,
                            interleave=2 if fused_pair else interleave,
                            fused_pair=fused_pair)
     if traversal == "packet":
-        if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:
-            # The XLA packet kernel is 8-wide, single-row-leaf only;
-            # per-lane is layout-agnostic (non-default arity/leaf sizes
-            # are Pallas-path experiments, PERF.md session 8).
+        if (scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10
+                or getattr(scene.bvh, "cluster_rows", None) is not None):
+            # The XLA packet kernel is 8-wide, single-row-leaf only, and
+            # reads the merged MT-leaf node_rows (which cluster scenes
+            # replace); per-lane is layout-agnostic — it traverses the
+            # full child_bounds/child_entry tree that cluster scenes keep.
             return closest_hit(scene.bvh, scene.tri_geom, o, d, t_max,
                                active, stack_depth=stack_depth,
                                leaf_size=leaf_size)
@@ -333,7 +353,8 @@ def trace_occluded(scene, o, d, t_max, active, *, stack_depth: int,
                           fused_pair=fused_pair)
         return hit.prim >= 0
     if traversal == "packet":
-        if scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10:
+        if (scene.bvh.child_entry.shape[1] != 8 or leaf_size > 10
+                or getattr(scene.bvh, "cluster_rows", None) is not None):
             return any_hit(scene.bvh, scene.tri_geom, o, d, t_max, active,
                            stack_depth=stack_depth, leaf_size=leaf_size)
         from gpupathtracer_tpu.ops.packet_traverse import any_hit_packets

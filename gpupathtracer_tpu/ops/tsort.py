@@ -102,6 +102,9 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
     if fused_pair:
         interleave = 2
     from gpupathtracer_tpu.ops.pallas_traverse import LANES, traverse_pallas
+    cluster = getattr(scene.bvh, "cluster_rows", None) is not None
+    if cluster:  # dense cluster leaves: single-pop packet kernel only
+        interleave, fused_pair, kernel = 1, False, "packet"
     if kernel == "subpacket":
         # Sub-packets (one independent 128-ray packet per sublane row,
         # ~190 ns/pop retire rate) are the natural consumers of the sorted
@@ -159,7 +162,8 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
             stack_depth=stack_depth, leaf_size=leaf_size, any_hit=any_hit,
             ordered=not any_hit,  # packed-bits push for occlusion (PERF.md)
             interleave=interleave, fused_pair=fused_pair,
-            interpret=interpret)
+            interpret=interpret,
+            cluster_rows=scene.bvh.cluster_rows if cluster else None)
     # Single-gather unpermute: pack (t, prim-bits, u, v) as one [N, 4] row
     # and gather by the INVERSE permutation (cheaper than scattering).
     res = jnp.stack([t.reshape(NP)[:n],
@@ -167,9 +171,11 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
                                                   jnp.float32),
                      u.reshape(NP)[:n], v.reshape(NP)[:n]], axis=1)
     out = res[inv]
-    return Hit(t=out[:, 0],
-               prim=jax.lax.bitcast_convert_type(out[:, 1], jnp.int32),
-               u=out[:, 2], v=out[:, 3])
+    prim_out = jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
+    if cluster:
+        from gpupathtracer_tpu.ops.traverse import remap_cluster_prims
+        prim_out = remap_cluster_prims(scene, prim_out)
+    return Hit(t=out[:, 0], prim=prim_out, u=out[:, 2], v=out[:, 3])
 
 
 def trace_closest_tsort(scene, o, d, t_max, active, *, stack_depth: int,

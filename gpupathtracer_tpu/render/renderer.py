@@ -135,6 +135,20 @@ class Renderer:
         # the plain kernel is slow, and small tables (< ~8k rows) already
         # run 9-44 Mrays/s incoherent (scene-size scaling curve).
         n_rows = int(scene.bvh.node_rows.shape[0])
+        if getattr(scene.bvh, "cluster_rows", None) is not None:
+            if cfg.partition_chips:
+                raise ValueError("cluster_tris and partition_chips are "
+                                 "mutually exclusive (the partition builds "
+                                 "its own per-chip tables)")
+            if cfg.bounce_traversal in ("treelet", "tsort-sub"):
+                raise ValueError(f"bounce_traversal={cfg.bounce_traversal!r}"
+                                 " reads MT leaf rows; cluster scenes "
+                                 "support pallas/tsort only")
+            # The 8k-row tsort gate keys on the FULL tree the clusters
+            # replaced (same workload, different leaf encoding): the old
+            # table was ~W internal rows + refs/leaf_size MT leaf rows.
+            n_rows = (int(scene.bvh.child_entry.shape[0])
+                      + int(scene.bvh.refs.shape[0]) // max(cfg.leaf_size, 1))
         if cfg.bounce_traversal == "auto":
             self.bounce_traversal = ("tsort"
                                      if self.traversal == "pallas"

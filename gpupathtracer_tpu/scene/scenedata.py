@@ -151,6 +151,14 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
                                dtype=np.int32)[:, None]
     stack_depth = min(max(stats.max_depth * (cfg.wide_arity - 1) + 2, 8),
                       cfg.stack_depth * 4)
+    if wide.node_rows is None and getattr(cfg, "cluster_tris", 0):
+        # Dense cluster leaves (bvh/cluster.py): node_rows becomes the
+        # cluster TOP tree; the per-lane layout keeps the full tree for
+        # the non-cluster paths. Packing runs post-cache, so the scene
+        # cache stays cluster-agnostic.
+        from gpupathtracer_tpu.bvh.cluster import pack_clusters
+        wide = pack_clusters(wide, soup.p0, soup.e1, soup.e2,
+                             tc=cfg.cluster_tris, arity=cfg.wide_arity)
     if wide.node_rows is None:
         from gpupathtracer_tpu.bvh.wide import pack_for_packets
         # Shading-normal sign vs the geometric e1 x e2 (mesh.py flips the
@@ -251,6 +259,10 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
                     packet_entry=jnp.asarray(wide.packet_entry),
                     cut_entry=jnp.asarray(wide.cut_entry),
                     cut_bounds=jnp.asarray(wide.cut_bounds),
+                    cluster_rows=(jnp.asarray(wide.cluster_rows)
+                                  if wide.cluster_rows is not None else None),
+                    cluster_refs=(jnp.asarray(wide.cluster_refs)
+                                  if wide.cluster_refs is not None else None),
                     ),
     )
     meta = SceneMeta(

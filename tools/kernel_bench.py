@@ -98,6 +98,10 @@ def main() -> None:
     ap.add_argument("--arity", type=int, default=8,
                     help="wide-BVH branching factor (8 default; 16 packs "
                          "16 children per 128-lane row — Pallas path only)")
+    ap.add_argument("--cluster-tc", type=int, default=0,
+                    help="dense cluster leaves: subtrees of <= this many "
+                         "tris (multiple of 128) become single MXU pops "
+                         "(bvh/cluster.py). Applies to packet/tsort modes.")
     args = ap.parse_args()
 
     import jax
@@ -125,12 +129,18 @@ def main() -> None:
     if args.leaf:
         cfg.leaf_size = args.leaf
     cfg.reinsert_rounds = args.reinsert
+    cfg.cluster_tris = args.cluster_tc
     scene, meta = load_scene(cfg)
     rows = scene.bvh.node_rows
     print(f"# {args.scene}: rows={rows.shape} "
           f"({rows.size * rows.dtype.itemsize / 1e6:.1f} MB) "
           f"stack={meta.stack_depth} leaf={meta.leaf_size} "
           f"K={k_list} N={N} ordered={ord_list}", file=sys.stderr)
+    if args.cluster_tc:
+        cl = scene.bvh.cluster_rows
+        print(f"# clusters: {cl.shape[0] // 8} x Tc={args.cluster_tc} "
+              f"({cl.size * cl.dtype.itemsize / 1e6:.1f} MB), "
+              f"top tree {rows.shape[0]} rows", file=sys.stderr)
 
     # Coherent set: Morton-tiled primaries at a resolution covering N rays.
     w = 1 << math.ceil(math.log2(math.sqrt(N * 16 / 9)))
@@ -210,6 +220,8 @@ def main() -> None:
 
             if mode == "subpacket" and args.arity != 8:
                 raise SystemExit("subpacket kernel supports arity 8 only")
+            if mode == "subpacket" and args.cluster_tc:
+                raise SystemExit("cluster leaves are packet/tsort only")
 
             def run(o, d, K, with_stats=False, ilv=1, ordered=None):
                 P = N // K
@@ -225,7 +237,8 @@ def main() -> None:
                                         else ordered),
                            **({"multi_pop": args.multi_pop,
                                "interleave": ilv,
-                               "fused_pair": args.fused_pair and ilv == 2}
+                               "fused_pair": args.fused_pair and ilv == 2,
+                               "cluster_rows": scene.bvh.cluster_rows}
                               if mode == "packet" else {}),
                            with_stats=with_stats)
         return run
