@@ -187,8 +187,9 @@ def _rewiden(node: _Node, arity: int) -> None:
 
 
 def pack_clusters(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
-                  tri_e2: np.ndarray, tc: int = 128,
-                  arity: int = 8) -> WideBVH:
+                  tri_e2: np.ndarray, tc: int = 128, arity: int = 8,
+                  tri_mat: np.ndarray = None,
+                  tri_nsign: np.ndarray = None) -> WideBVH:
     """Attach the cluster layout to a collapsed wide BVH.
 
     Replaces node_rows/packet_entry/cut_* with the CLUSTER top tree and
@@ -196,6 +197,13 @@ def pack_clusters(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
     per-lane layout (child_bounds/child_entry/refs) keeps the full tree
     so non-cluster paths (reference traversal, partition builder) still
     work off the same WideBVH.
+
+    tri_mat/tri_nsign: optional per-triangle material id + shading-normal
+    sign. Packed into spare row 7 lanes [0:tc] as ONE signed float,
+    (mat_id + 1) * nsign (exact for mat < 2^23): the megakernel's cluster
+    walk captures it — together with the winner's normal direction, which
+    needs no storage at all (the stored C row is parallel to e1 x e2) —
+    through a single one-hot [4, tc] x [tc, 128] matmul per ray tile.
     """
     assert tc % 128 == 0 and tc >= 128, "cluster capacity in 128 multiples"
     root, clusters = build_cluster_cut(wide, tc)
@@ -249,6 +257,10 @@ def pack_clusters(wide: WideBVH, tri_p0: np.ndarray, tri_e1: np.ndarray,
         blk[3:6, 2 * tc:2 * tc + T] = -C.T             # negated: t = num/dc
         blk[6, 2 * tc:2 * tc + T] = np.einsum("ij,ij->i",
                                               C.astype(np.float64), p64)
+        if tri_mat is not None:
+            sgn = (tri_nsign[tri] if tri_nsign is not None
+                   else np.ones(T, np.float32))
+            blk[7, 0:T] = (tri_mat[tri].astype(np.float32) + 1.0) * sgn
         crefs[cidx * tc:cidx * tc + T] = tri
 
     from gpupathtracer_tpu.bvh.treelet import build_treelet_cut

@@ -58,16 +58,16 @@ def mega_eligible(scene, meta, *, textured: bool, delta: bool, sun: bool,
     env = np.asarray(scene.env.image)
     const_env = (env.size <= 3 * 64
                  and bool((env == env.reshape(-1, 3)[0]).all()))
+    cl = getattr(scene.bvh, "cluster_rows", None)
+    table_bytes = (scene.bvh.node_rows.size
+                   * scene.bvh.node_rows.dtype.itemsize
+                   + (cl.size * cl.dtype.itemsize if cl is not None else 0))
     return (not textured and not delta and not sun
             and sampler == "random"
             and const_env
-            # Cluster scenes replace the MT-leaf node_rows this kernel's
-            # leaf phase decodes (bvh/cluster.py).
-            and getattr(scene.bvh, "cluster_rows", None) is None
             and meta.num_materials <= 64
             and scene.light_rows.shape[0] <= 64
-            and scene.bvh.node_rows.size
-            * scene.bvh.node_rows.dtype.itemsize <= VMEM_TABLE_LIMIT)
+            and table_bytes <= VMEM_TABLE_LIMIT)
 
 
 def pack_mega_tables(scene):
@@ -187,7 +187,7 @@ def _vis_ggx(rough2, ndx):
 
 def _mega_kernel(seed_ref, params_ref, cdf_ref,
                  o_ref, d_ref, act_ref,
-                 rows_ref, mats_ref, lights_ref,
+                 rows_ref, mats_ref, lights_ref, cl_ref,
                  contrib_out, rays_out,
                  stack, sp_ref, ctr,
                  st_o, st_d, st_tp, st_ct, st_lp,
@@ -195,7 +195,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                  cap_t, cap_prim, cap_e1, cap_e2, cap_ms,
                  *, stack_depth: int, leaf_size: int, max_bounces: int,
                  nee: bool, model: str, n_mats: int, n_lights: int,
-                 arity: int = 8):
+                 arity: int = 8, cluster: bool = False, tc: int = 0):
     """One packet; the full path-tracing estimator per lane.
 
     seed: SMEM (P,); params: SMEM (5,) [total_area, nee_pdf, env rgb];
@@ -204,6 +204,15 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
     rays, lane 1 = live shadow rays — the honest Mrays/s numerators).
     State scratch: st_* as in the wavefront Carry; cap_* hit capture
     (cap_ms packs [mat_id (int bits), nsign] as 2 G-rows: [2, G, 128]).
+
+    cluster: rows_ref is the cluster TOP tree and cl_ref holds the dense
+    [Ncl*8, 3*tc] inverse-matrix blocks (bvh/cluster.py). Leaf pops run
+    the MXU dense epilogue; the winner's shading data comes back through
+    ONE one-hot [4, tc] x [tc, 128] matmul per ray tile — rows 0:3 are
+    the stored C rows (parallel to e1 x e2, so no extra normal storage),
+    row 3 the signed material float (mat_id + 1) * nsign. cap_e1 then
+    holds the C vector and cap_ms[0] the signed material; cap_e2 and
+    cap_ms[1] are unused.
     """
     G = o_ref.shape[1]
     pid = pl.program_id(0)
@@ -273,7 +282,13 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             sp = sp - 1
             is_leaf = entry < 0
             packed = jnp.where(is_leaf, -(entry + 1), 0)
-            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            if cluster:
+                # Leaf entries index cl_ref, not rows_ref: clamp the node
+                # row fetch (cluster counts can exceed top-tree rows).
+                ridx = jnp.where(is_leaf, 0, jnp.maximum(entry, 0))
+            else:
+                ridx = jnp.where(is_leaf, packed >> 4,
+                                 jnp.maximum(entry, 0))
             row = rows_ref[pl.ds(ridx, 1), :]
             row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
             rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
@@ -326,54 +341,117 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
 
-            @pl.when(is_leaf)
-            def _():
-                count = packed & 15
-                t_c = cap_t[...]
-                p_c = cap_prim[...]
-                e1c = [cap_e1[a] for a in range(3)]
-                e2c = [cap_e2[a] for a in range(3)]
-                mc = cap_ms[0]
-                sc = cap_ms[1]
-                for k in range(leaf_size):
-                    b = k * 12
-                    p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
-                    e1 = [rowG[:, b + 3 + a:b + 4 + a] for a in range(3)]
-                    e2 = [rowG[:, b + 6 + a:b + 7 + a] for a in range(3)]
-                    pid_ = rowGi[:, b + 9:b + 10]
-                    mat_f = rowG[:, b + 10:b + 11]
-                    sgn = rowG[:, b + 11:b + 12]
-                    px = d[1] * e2[2] - d[2] * e2[1]
-                    py = d[2] * e2[0] - d[0] * e2[2]
-                    pz = d[0] * e2[1] - d[1] * e2[0]
-                    det = e1[0] * px + e1[1] * py + e1[2] * pz
-                    idet = 1.0 / det
-                    tx = o[0] - p0[0]
-                    ty = o[1] - p0[1]
-                    tz = o[2] - p0[2]
-                    uu = (tx * px + ty * py + tz * pz) * idet
-                    qx = ty * e1[2] - tz * e1[1]
-                    qy = tz * e1[0] - tx * e1[2]
-                    qz = tx * e1[1] - ty * e1[0]
-                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
-                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
-                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
-                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
-                          & on & (k < count))
-                    t_c = jnp.where(ok, tt, t_c)
-                    p_c = jnp.where(ok, pid_, p_c)
+            if cluster:
+                @pl.when(is_leaf)
+                def _():
+                    cidx = packed >> 4
+                    blk = cl_ref[pl.ds(cidx * 8, 8), :]   # [8, 3*tc]
+                    wd = blk[0:3, :]
+                    wo4 = blk[3:7, :]
+                    # Capture operand: C rows (parallel to e1 x e2) + the
+                    # signed material float — one matmul per ray tile.
+                    capop = jnp.concatenate(
+                        [wd[:, 2 * tc:3 * tc], blk[7:8, 0:tc]], axis=0)
+                    ones = jnp.ones((1, LANES), jnp.float32)
+                    subi = jax.lax.broadcasted_iota(jnp.int32, (tc, LANES),
+                                                    0)
+                    dn = (((0,), (0,)), ((), ()))
+                    dnc = (((1,), (0,)), ((), ()))
+                    for g in range(G):
+                        dg = jnp.concatenate(
+                            [d[a][g:g + 1, :] for a in range(3)], axis=0)
+                        og4 = jnp.concatenate(
+                            [o[a][g:g + 1, :] for a in range(3)] + [ones],
+                            axis=0)
+                        md = jax.lax.dot_general(
+                            wd, dg, dn, preferred_element_type=jnp.float32)
+                        mo = jax.lax.dot_general(
+                            wo4, og4, dn,
+                            preferred_element_type=jnp.float32)
+                        da = md[0:tc]
+                        db = md[tc:2 * tc]
+                        dc = md[2 * tc:3 * tc]
+                        oa = mo[0:tc]
+                        ob = mo[tc:2 * tc]
+                        num = mo[2 * tc:3 * tc]
+                        t = num / dc
+                        uu = oa + t * da
+                        vv = ob + t * db
+                        tb = cap_t[g:g + 1, :]
+                        on_g = on[g:g + 1, :]
+                        valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
+                                 & (t > 0.0) & (t < tb) & on_g)
+                        score = jnp.where(valid, t, jnp.inf)
+                        tmin = jnp.min(score, axis=0, keepdims=True)
+                        improved = tmin < tb
+                        sel = valid & (score <= tmin)
+                        idx = jnp.min(jnp.where(sel, subi, tc), axis=0,
+                                      keepdims=True)
+                        onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
+                        cap = jax.lax.dot_general(
+                            capop, onef, dnc,
+                            preferred_element_type=jnp.float32)  # [4, 128]
+                        cap_t[g:g + 1, :] = jnp.where(improved, tmin, tb)
+                        cap_prim[g:g + 1, :] = jnp.where(
+                            improved, cidx * tc + idx,
+                            cap_prim[g:g + 1, :])
+                        for a in range(3):
+                            cap_e1[a, g:g + 1, :] = jnp.where(
+                                improved, cap[a:a + 1],
+                                cap_e1[a, g:g + 1, :])
+                        cap_ms[0, g:g + 1, :] = jnp.where(
+                            improved, cap[3:4], cap_ms[0, g:g + 1, :])
+            else:
+                @pl.when(is_leaf)
+                def _():
+                    count = packed & 15
+                    t_c = cap_t[...]
+                    p_c = cap_prim[...]
+                    e1c = [cap_e1[a] for a in range(3)]
+                    e2c = [cap_e2[a] for a in range(3)]
+                    mc = cap_ms[0]
+                    sc = cap_ms[1]
+                    for k in range(leaf_size):
+                        b = k * 12
+                        p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
+                        e1 = [rowG[:, b + 3 + a:b + 4 + a]
+                              for a in range(3)]
+                        e2 = [rowG[:, b + 6 + a:b + 7 + a]
+                              for a in range(3)]
+                        pid_ = rowGi[:, b + 9:b + 10]
+                        mat_f = rowG[:, b + 10:b + 11]
+                        sgn = rowG[:, b + 11:b + 12]
+                        px = d[1] * e2[2] - d[2] * e2[1]
+                        py = d[2] * e2[0] - d[0] * e2[2]
+                        pz = d[0] * e2[1] - d[1] * e2[0]
+                        det = e1[0] * px + e1[1] * py + e1[2] * pz
+                        idet = 1.0 / det
+                        tx = o[0] - p0[0]
+                        ty = o[1] - p0[1]
+                        tz = o[2] - p0[2]
+                        uu = (tx * px + ty * py + tz * pz) * idet
+                        qx = ty * e1[2] - tz * e1[1]
+                        qy = tz * e1[0] - tx * e1[2]
+                        qz = tx * e1[1] - ty * e1[0]
+                        vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                        tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                        ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                              & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
+                              & on & (k < count))
+                        t_c = jnp.where(ok, tt, t_c)
+                        p_c = jnp.where(ok, pid_, p_c)
+                        for a in range(3):
+                            e1c[a] = jnp.where(ok, e1[a], e1c[a])
+                            e2c[a] = jnp.where(ok, e2[a], e2c[a])
+                        mc = jnp.where(ok, mat_f, mc)
+                        sc = jnp.where(ok, sgn, sc)
+                    cap_t[...] = t_c
+                    cap_prim[...] = p_c
                     for a in range(3):
-                        e1c[a] = jnp.where(ok, e1[a], e1c[a])
-                        e2c[a] = jnp.where(ok, e2[a], e2c[a])
-                    mc = jnp.where(ok, mat_f, mc)
-                    sc = jnp.where(ok, sgn, sc)
-                cap_t[...] = t_c
-                cap_prim[...] = p_c
-                for a in range(3):
-                    cap_e1[a] = e1c[a]
-                    cap_e2[a] = e2c[a]
-                cap_ms[0] = mc
-                cap_ms[1] = sc
+                        cap_e1[a] = e1c[a]
+                        cap_e2[a] = e2c[a]
+                    cap_ms[0] = mc
+                    cap_ms[1] = sc
 
             return sp_ref[0]
 
@@ -396,7 +474,11 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             sp = sp - 1
             is_leaf = entry < 0
             packed = jnp.where(is_leaf, -(entry + 1), 0)
-            ridx = jnp.where(is_leaf, packed >> 4, jnp.maximum(entry, 0))
+            if cluster:
+                ridx = jnp.where(is_leaf, 0, jnp.maximum(entry, 0))
+            else:
+                ridx = jnp.where(is_leaf, packed >> 4,
+                                 jnp.maximum(entry, 0))
             row = rows_ref[pl.ds(ridx, 1), :]
             row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
             rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
@@ -440,35 +522,69 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
 
-            @pl.when(is_leaf)
-            def _():
-                count = packed & 15
-                p_c = cap_prim[...]
-                for k in range(leaf_size):
-                    b = k * 12
-                    p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
-                    e1 = [rowG[:, b + 3 + a:b + 4 + a] for a in range(3)]
-                    e2 = [rowG[:, b + 6 + a:b + 7 + a] for a in range(3)]
-                    pid_ = rowGi[:, b + 9:b + 10]
-                    px = d[1] * e2[2] - d[2] * e2[1]
-                    py = d[2] * e2[0] - d[0] * e2[2]
-                    pz = d[0] * e2[1] - d[1] * e2[0]
-                    det = e1[0] * px + e1[1] * py + e1[2] * pz
-                    idet = 1.0 / det
-                    tx = o[0] - p0[0]
-                    ty = o[1] - p0[1]
-                    tz = o[2] - p0[2]
-                    uu = (tx * px + ty * py + tz * pz) * idet
-                    qx = ty * e1[2] - tz * e1[1]
-                    qy = tz * e1[0] - tx * e1[2]
-                    qz = tx * e1[1] - ty * e1[0]
-                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
-                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
-                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
-                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < tmax)
-                          & rays_on & (k < count))
-                    p_c = jnp.where(ok, pid_, p_c)
-                cap_prim[...] = p_c
+            if cluster:
+                @pl.when(is_leaf)
+                def _():
+                    cidx = packed >> 4
+                    blk = cl_ref[pl.ds(cidx * 8, 8), :]
+                    wd = blk[0:3, :]
+                    wo4 = blk[3:7, :]
+                    ones = jnp.ones((1, LANES), jnp.float32)
+                    dn = (((0,), (0,)), ((), ()))
+                    for g in range(G):
+                        dg = jnp.concatenate(
+                            [d[a][g:g + 1, :] for a in range(3)], axis=0)
+                        og4 = jnp.concatenate(
+                            [o[a][g:g + 1, :] for a in range(3)] + [ones],
+                            axis=0)
+                        md = jax.lax.dot_general(
+                            wd, dg, dn, preferred_element_type=jnp.float32)
+                        mo = jax.lax.dot_general(
+                            wo4, og4, dn,
+                            preferred_element_type=jnp.float32)
+                        t = mo[2 * tc:3 * tc] / md[2 * tc:3 * tc]
+                        uu = mo[0:tc] + t * md[0:tc]
+                        vv = mo[tc:2 * tc] + t * md[tc:2 * tc]
+                        tm_g = tmax[g:g + 1, :]
+                        on_g = rays_on[g:g + 1, :]
+                        valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
+                                 & (t > 0.0) & (t < tm_g) & on_g)
+                        hit = jnp.max(jnp.where(valid, 1, 0), axis=0,
+                                      keepdims=True) > 0
+                        cap_prim[g:g + 1, :] = jnp.where(
+                            hit, 0, cap_prim[g:g + 1, :])
+            else:
+                @pl.when(is_leaf)
+                def _():
+                    count = packed & 15
+                    p_c = cap_prim[...]
+                    for k in range(leaf_size):
+                        b = k * 12
+                        p0 = [rowG[:, b + a:b + a + 1] for a in range(3)]
+                        e1 = [rowG[:, b + 3 + a:b + 4 + a]
+                              for a in range(3)]
+                        e2 = [rowG[:, b + 6 + a:b + 7 + a]
+                              for a in range(3)]
+                        pid_ = rowGi[:, b + 9:b + 10]
+                        px = d[1] * e2[2] - d[2] * e2[1]
+                        py = d[2] * e2[0] - d[0] * e2[2]
+                        pz = d[0] * e2[1] - d[1] * e2[0]
+                        det = e1[0] * px + e1[1] * py + e1[2] * pz
+                        idet = 1.0 / det
+                        tx = o[0] - p0[0]
+                        ty = o[1] - p0[1]
+                        tz = o[2] - p0[2]
+                        uu = (tx * px + ty * py + tz * pz) * idet
+                        qx = ty * e1[2] - tz * e1[1]
+                        qy = tz * e1[0] - tx * e1[2]
+                        qz = tx * e1[1] - ty * e1[0]
+                        vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                        tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                        ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                              & (uu + vv < 1.0) & (tt > 0.0) & (tt < tmax)
+                              & rays_on & (k < count))
+                        p_c = jnp.where(ok, pid_, p_c)
+                    cap_prim[...] = p_c
 
             sp = sp_ref[0]
             done = jnp.sum((on & (cap_prim[...] < 0))
@@ -558,12 +674,19 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         t = cap_t[...]
         prim = cap_prim[...]
         miss = prim < 0
-        e1 = [cap_e1[a] for a in range(3)]
-        e2 = [cap_e2[a] for a in range(3)]
-        mid = jax.lax.bitcast_convert_type(cap_ms[0], jnp.int32)
-        nsign = cap_ms[1]
-
-        n = _scale(_normalize(_cross(e1, e2)), nsign)
+        if cluster:
+            # cap_e1 holds the winner's C row (parallel to e1 x e2, det>0);
+            # cap_ms[0] the signed material float (mat_id + 1) * nsign.
+            sm = cap_ms[0]
+            nsign = jnp.where(sm < 0.0, -1.0, 1.0)
+            mid = jnp.maximum(jnp.abs(sm).astype(jnp.int32) - 1, -1)
+            n = _scale(_normalize([cap_e1[a] for a in range(3)]), nsign)
+        else:
+            e1 = [cap_e1[a] for a in range(3)]
+            e2 = [cap_e2[a] for a in range(3)]
+            mid = jax.lax.bitcast_convert_type(cap_ms[0], jnp.int32)
+            nsign = cap_ms[1]
+            n = _scale(_normalize(_cross(e1, e2)), nsign)
         pos = [o[a] + d[a] * t + 0.003 * n[a] for a in range(3)]
         view = [-d[a] for a in range(3)]
         ndo = jnp.maximum(_dot(n, view), 0.0)
@@ -732,11 +855,15 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
 def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                *, stack_depth: int, leaf_size: int, max_bounces: int,
                nee: bool, model: str, n_mats: int, n_lights: int,
-               packet_size: int = 2048, interpret: bool = False):
+               packet_size: int = 2048, interpret: bool = False,
+               cluster_rows=None):
     """Run the megakernel over [N] primary rays.
 
     Returns (contribution [N, 3], rays i32 scalar). N must divide
     packet_size; seeds is [P] i32 (one PRNG stream per packet).
+    cluster_rows: optional dense cluster-leaf table — `rows` must then be
+    the cluster top tree (bvh/cluster.py) and the in-kernel walks run the
+    MXU dense leaf phase.
     """
     N = o.shape[0]
     K = packet_size
@@ -749,10 +876,15 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
     dT = jnp.transpose(d, (1, 0)).reshape(3, P, G, LANES).transpose(
         1, 0, 2, 3)
 
+    cluster = cluster_rows is not None
+    tc = cluster_rows.shape[1] // 3 if cluster else 0
+    if not cluster:
+        # Dummy 1-row table keeps the pallas_call signature static.
+        cluster_rows = jnp.zeros((8, 3 * LANES), jnp.float32)
     kernel = functools.partial(
         _mega_kernel, stack_depth=stack_depth, leaf_size=leaf_size,
         max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
-        n_lights=n_lights)
+        n_lights=n_lights, cluster=cluster, tc=tc)
 
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -760,9 +892,9 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                              memory_space=pltpu.VMEM)
 
     def entry(seed_r, params_r, cdf_r, o_r, d_r, act_r, rows_r, mats_r,
-              lights_r, ct_o, rays_o, *scratch):
+              lights_r, cl_r, ct_o, rays_o, *scratch):
         kernel(seed_r, params_r, cdf_r, o_r.at[0], d_r.at[0], act_r.at[0],
-               rows_r, mats_r, lights_r, ct_o.at[0], rays_o.at[0],
+               rows_r, mats_r, lights_r, cl_r, ct_o.at[0], rays_o.at[0],
                *scratch)
 
     G_scr = lambda: pltpu.VMEM((G, LANES), jnp.float32)
@@ -774,6 +906,7 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   ray_spec, ray_spec, lane_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -796,12 +929,14 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 rows.size * rows.dtype.itemsize
+                + cluster_rows.size * cluster_rows.dtype.itemsize
                 + (mats.size + lights.size) * 4
+                + (2 * 3 * tc * LANES * 4 * 4 if cluster else 0)
                 + 40 * G * LANES * 4 + 8 * 1024 * 1024,
                 120 * 1024 * 1024)),
         interpret=interpret,
     )(seeds.astype(jnp.int32), params, cdf, oT, dT,
-      active.reshape(P, G, LANES), rows, mats, lights)
+      active.reshape(P, G, LANES), rows, mats, lights, cluster_rows)
     ct, rays = outs
     contribution = ct.transpose(0, 2, 3, 1).reshape(N, 3)
     return contribution, jnp.sum(rays[:, 0, 0:2])
@@ -852,7 +987,8 @@ def render_sample_mega(scene, mega_tables, cam, pixel_x, pixel_y, key,
         scene.bvh.node_rows, mats, lights, cdf, params, ray_o, ray_d, act,
         seeds, stack_depth=stack_depth, leaf_size=leaf_size,
         max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
-        n_lights=n_lights, packet_size=K, interpret=interpret)
+        n_lights=n_lights, packet_size=K, interpret=interpret,
+        cluster_rows=getattr(scene.bvh, "cluster_rows", None))
     return contribution[:n], rays
 
 

@@ -157,8 +157,12 @@ def _upload(soup, table, idx, cdf, total_area, wide, stats, env, cfg,
         # the non-cluster paths. Packing runs post-cache, so the scene
         # cache stays cluster-agnostic.
         from gpupathtracer_tpu.bvh.cluster import pack_clusters
+        gn = np.cross(soup.e1, soup.e2)
+        nsign = np.where(np.einsum("ij,ij->i", gn, soup.normal) < 0.0,
+                         -1.0, 1.0).astype(np.float32)
         wide = pack_clusters(wide, soup.p0, soup.e1, soup.e2,
-                             tc=cfg.cluster_tris, arity=cfg.wide_arity)
+                             tc=cfg.cluster_tris, arity=cfg.wide_arity,
+                             tri_mat=soup.mat, tri_nsign=nsign)
     if wide.node_rows is None:
         from gpupathtracer_tpu.bvh.wide import pack_for_packets
         # Shading-normal sign vs the geometric e1 x e2 (mesh.py flips the

@@ -196,3 +196,66 @@ def test_cluster_stats_counters():
     ncl = scene.bvh.cluster_rows.shape[0] // 8
     assert node_pops >= 1
     assert 1 <= cluster_pops <= ncl  # bounded by cluster count per packet
+
+
+def test_cluster_megakernel_matches_mt_mega():
+    """Megakernel with dense cluster walks vs the MT megakernel: identical
+    RNG streams (same seed/packet layout), hits differ only by inverse-
+    matrix rounding — per-pixel direct lighting must agree tightly."""
+    import math
+
+    import jax
+
+    from gpupathtracer_tpu.config import CameraConfig, RenderConfig
+    from gpupathtracer_tpu.math.camera import generate_image_plane
+    from gpupathtracer_tpu.ops.megakernel import (mega_eligible,
+                                                  pack_mega_tables,
+                                                  render_sample_mega)
+    from gpupathtracer_tpu.scene import load_scene
+
+    def build(cluster):
+        cfg = RenderConfig(scene_path="proc:cornell",
+                           skybox="GENERATE COLOR BLACK",
+                           width=16, height=16, cache_enabled=True,
+                           cluster_tris=128 if cluster else 0)
+        cfg.camera = CameraConfig(position=(2.75, 2.75, -7.0), yaw=math.pi,
+                                  fov=math.radians(45), aspect=1.0)
+        return cfg, *load_scene(cfg)
+
+    cfg, scene_mt, meta = build(False)
+    _, scene_cl, meta_cl = build(True)
+    assert scene_cl.bvh.cluster_rows is not None
+    assert mega_eligible(scene_cl, meta_cl, textured=False, delta=False,
+                         sun=False)
+    cam = generate_image_plane(cfg.camera)
+    n = 256
+    idx = np.arange(n)
+    px = jnp.asarray((idx % 16).astype(np.float32))
+    py = jnp.asarray((idx // 16).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    def run(scene, meta_, bounces):
+        tables = pack_mega_tables(scene)
+        acc = None
+        for s in range(3):
+            c, _ = render_sample_mega(
+                scene, tables, cam, px, py, jax.random.fold_in(key, s),
+                width=16, height=16, stack_depth=meta_.stack_depth,
+                leaf_size=meta_.leaf_size, max_bounces=bounces, nee=True,
+                n_mats=meta_.num_materials,
+                n_lights=int(scene.light_rows.shape[0]),
+                packet_size=256, interpret=True, sample_idx=s)
+            acc = c if acc is None else acc + c
+        return np.asarray(acc) / 3
+
+    # Direct lighting: deterministic up to hit rounding.
+    d_mt = run(scene_mt, meta, 0)
+    d_cl = run(scene_cl, meta_cl, 0)
+    close = np.isclose(d_cl, d_mt, rtol=1e-3, atol=1e-3).all(axis=1)
+    assert close.mean() > 0.99
+    # Path traced: identical RNG streams; rare rounding-flipped bounces
+    # allowed, the rest must match.
+    p_mt = run(scene_mt, meta, 4)
+    p_cl = run(scene_cl, meta_cl, 4)
+    close_p = np.isclose(p_cl, p_mt, rtol=1e-2, atol=2e-2).all(axis=1)
+    assert close_p.mean() > 0.97
