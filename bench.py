@@ -179,18 +179,21 @@ def main() -> None:
         # winner and both numbers are recorded.
         table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
         extra["table_pt_fps_wavefront"] = round(table_pt, 2)
-        try:
-            table_pt_mega = _proc_fps("proc:table", 800, 600, "wavefront",
-                                      64, megakernel="on")
-            extra["table_pt_fps_mega"] = round(table_pt_mega, 2)
-        except Exception as e:
-            print(f"# table mega FAILED: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            table_pt_mega = 0.0
-        table_pt = max(table_pt, table_pt_mega)
+        for vkey, vkw in (("mega", {"megakernel": "on"}),
+                          ("megacluster", {"megakernel": "on",
+                                           "cluster_tris": 128})):
+            try:
+                fps_v = _proc_fps("proc:table", 800, 600, "wavefront",
+                                  64, **vkw)
+                extra[f"table_pt_fps_{vkey}"] = round(fps_v, 2)
+                table_pt = max(table_pt, fps_v)
+            except Exception as e:
+                print(f"# table {vkey} FAILED: {type(e).__name__}: {e}",
+                      file=sys.stderr)
         print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
               f"(wavefront {extra['table_pt_fps_wavefront']}, mega "
-              f"{extra.get('table_pt_fps_mega')}; reference: 45 fps "
+              f"{extra.get('table_pt_fps_mega')}, megacluster "
+              f"{extra.get('table_pt_fps_megacluster')}; reference: 45 fps "
               f"progressive on a GTX 980)", file=sys.stderr)
         extra["table_pt_fps"] = round(table_pt, 2)
         bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
@@ -226,6 +229,11 @@ def main() -> None:
                                               fused_pair=True)),
         "mega": lambda: Renderer(_sponza_cfg(width, height,
                                              megakernel="on")),
+        # Dense cluster leaves (round-4): subtree-sized MXU pops.
+        "cluster": lambda: Renderer(_sponza_cfg(width, height,
+                                                cluster_tris=128)),
+        "cluster256": lambda: Renderer(_sponza_cfg(width, height,
+                                                   cluster_tris=256)),
     }
     best_sponza, probe_sponza = _probe_best("sponza", sponza_variants,
                                             frames=2)
@@ -303,13 +311,25 @@ def main() -> None:
                                                 fused_pair=True)),
             "mega": lambda: Renderer(_bath_cfg(1280, 720,
                                                megakernel="on")),
+            # Round-4 compositions: dense cluster leaves alone and inside
+            # the megakernel's on-core walks (both config-4 levers).
+            "cluster": lambda: Renderer(_bath_cfg(1280, 720,
+                                                  cluster_tris=128)),
+            "megacluster": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", cluster_tris=128)),
+            "megacluster256": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", cluster_tris=256)),
         }
         best_bath, probe_bath = _probe_best("bathroom", bath_variants,
                                             frames=3)
         extra.setdefault("probes", {})["bathroom"] = probe_bath
         extra["probes"]["bathroom_winner"] = best_bath
         bath_kw = {"wavefront": {}, "fpair": {"fused_pair": True},
-                   "mega": {"megakernel": "on"}}[best_bath]
+                   "mega": {"megakernel": "on"},
+                   "cluster": {"cluster_tris": 128},
+                   "megacluster": {"megakernel": "on", "cluster_tris": 128},
+                   "megacluster256": {"megakernel": "on",
+                                      "cluster_tris": 256}}[best_bath]
 
         rb = Renderer(_bath_cfg(bw, bh, **bath_kw))
         rb.render_frame(sync=True)  # compile outside the timed region

@@ -260,6 +260,84 @@ def leaf_mt_kernel(row_ref, o_ref, d_ref, inv_ref, out_ref, *, iters, G,
     out_ref[...] = jax.lax.fori_loop(0, iters, body, t_c)
 
 
+def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
+                         iters, G, tc):
+    """The exact cluster leaf-phase body of _kernel_cluster (two K=3/4
+    matmuls per ray tile + the ~20-op epilogue with running argmin and
+    u/v one-hot capture), iterated without pop machinery. One iteration =
+    one cluster pop at capacity tc."""
+    del inv_ref
+    o = o_ref[...]
+    d = d_ref[...]
+    ones = jnp.ones((1, 128), jnp.float32)
+    subi = jax.lax.broadcasted_iota(jnp.int32, (tc, 128), 0)
+    dn = (((0,), (0,)), ((), ()))
+    t_state = jnp.zeros((G, 128), jnp.float32) + 1e20
+
+    def body(i, t_state):
+        start = (i % 2) * 8  # rotate between two resident blocks
+        blk = blk_ref[pl.ds(start, 8), :]
+        wd = blk[0:3, :]
+        wo4 = blk[3:7, :]
+        outs = []
+        for g in range(G):
+            dg = jnp.concatenate([d[a, g:g + 1, :] for a in range(3)],
+                                 axis=0)
+            og4 = jnp.concatenate([o[a, g:g + 1, :] for a in range(3)]
+                                  + [ones], axis=0)
+            md = jax.lax.dot_general(wd, dg, dn,
+                                     preferred_element_type=jnp.float32)
+            mo = jax.lax.dot_general(wo4, og4, dn,
+                                     preferred_element_type=jnp.float32)
+            t = mo[2 * tc:3 * tc] / md[2 * tc:3 * tc]
+            uu = mo[0:tc] + t * md[0:tc]
+            vv = mo[tc:2 * tc] + t * md[tc:2 * tc]
+            tb = t_state[g:g + 1, :]
+            valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
+                     & (t > 0.0) & (t < tb))
+            score = jnp.where(valid, t, jnp.inf)
+            tmin = jnp.min(score, axis=0, keepdims=True)
+            improved = tmin < tb
+            sel = valid & (score <= tmin)
+            idx = jnp.min(jnp.where(sel, subi, tc), axis=0, keepdims=True)
+            onehot = sel & (subi == idx)
+            uw = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0, keepdims=True)
+            vw = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0, keepdims=True)
+            outs.append(jnp.where(improved, tmin * 0.999 + uw * 1e-9
+                                  + vw * 1e-9, tb))
+        return jnp.concatenate(outs, axis=0)
+
+    out_ref[...] = jax.lax.fori_loop(0, iters, body, t_state)
+
+
+def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048):
+    rng = np.random.RandomState(0)
+    blk = jnp.asarray(rng.uniform(-1, 1, (16, 3 * tc)).astype(np.float32))
+    o = jnp.zeros((3, G, 128), jnp.float32) + 0.5
+    d = jnp.ones((3, G, 128), jnp.float32) * 0.577
+    inv = 1.0 / d
+
+    @jax.jit
+    def go(blk, o, d, inv):
+        return pl.pallas_call(
+            functools.partial(cluster_dense_kernel, iters=iters, G=G,
+                              tc=tc),
+            out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(blk, o, d, inv)
+
+    # Per (ray, tri) pair: ~20 VPU el-ops (epilogue) + 14 MXU flops.
+    pairs = tc * 128 * G * iters
+    rate, med = timed(lambda: _sync(go(blk, o, d, inv)), reps,
+                      f"cluster dense body x{iters} (G={G}, tc={tc})",
+                      20 * pairs)
+    print(f"    -> {med/iters*1e9:.0f} ns per cluster-pop vector body "
+          f"({med/iters/(tc*128*G)*1e12:.2f} ps/pair)")
+    return rate, med / iters
+
+
 def run_phase_floors(reps, interpret, G=16, iters=8192):
     rows = jnp.asarray(np.random.RandomState(0)
                        .uniform(0, 1, (64, 128)).astype(np.float32))
@@ -352,6 +430,9 @@ def main():
     print("\n== 4. Traversal-phase compute floors ==")
     run_phase_floors(reps, interpret, G=16,
                      iters=256 if (args.cpu or args.quick) else 8192)
+    for tc in (128, 256):
+        run_cluster_floor(reps, interpret, G=16, tc=tc,
+                          iters=16 if (args.cpu or args.quick) else 2048)
 
     print("\nInterpretation: compare the phase floors against the measured "
           "460 ns/pop (PERF.md) — the delta is the latency/sync/scalar "
