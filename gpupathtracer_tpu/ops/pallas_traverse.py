@@ -447,14 +447,23 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 blk = clbuf[...]
             wd = blk[0:3, :]                             # [3, 3*tc]
             wo4 = blk[3:7, :]                            # [4, 3*tc]
+            # Winner-capture operand: the A and B rows + folded constants
+            # (wo4's first two thirds) — a one-hot matmul then returns the
+            # winning triangle's coefficients so u/v are RECOMPUTED per
+            # lane (~22 ops on [1,128]) instead of captured via two
+            # [tc,128] one-hot sum passes (~20% of the epilogue).
+            capop = jnp.concatenate([wo4[:, 0:tc], wo4[:, tc:2 * tc]],
+                                    axis=0)              # [8, tc]
             o = o_ref[...]
             d = d_ref[...]
             ones = jnp.ones((1, LANES), jnp.float32)
             subi = jax.lax.broadcasted_iota(jnp.int32, (tc, LANES), 0)
             dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both
+            dnc = (((1,), (0,)), ((), ()))
             for g in range(G):
                 dg = d[:, g, :]                          # [3, 128]
-                og4 = jnp.concatenate([o[:, g, :], ones], axis=0)  # [4,128]
+                og = o[:, g, :]
+                og4 = jnp.concatenate([og, ones], axis=0)   # [4, 128]
                 # All six dot products for every (ray, tri) pair in two
                 # matmuls; K=3/4 caps MXU utilization (~2%) — the win is
                 # pop-count collapse + MXU/VPU concurrency, not peak.
@@ -478,11 +487,20 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 sel = valid & (score <= tmin)
                 idx = jnp.min(jnp.where(sel, subi, tc), axis=0,
                               keepdims=True)             # [1, 128]
-                onehot = sel & (subi == idx)
-                uw = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0,
-                             keepdims=True)
-                vw = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0,
-                             keepdims=True)
+                onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
+                cap = jax.lax.dot_general(
+                    capop, onef, dnc,
+                    preferred_element_type=jnp.float32)  # [8, 128]
+                da_w = (cap[0:1] * dg[0:1] + cap[1:2] * dg[1:2]
+                        + cap[2:3] * dg[2:3])
+                oa_w = (cap[0:1] * og[0:1] + cap[1:2] * og[1:2]
+                        + cap[2:3] * og[2:3] + cap[3:4])
+                db_w = (cap[4:5] * dg[0:1] + cap[5:6] * dg[1:2]
+                        + cap[6:7] * dg[2:3])
+                ob_w = (cap[4:5] * og[0:1] + cap[5:6] * og[1:2]
+                        + cap[6:7] * og[2:3] + cap[7:8])
+                uw = oa_w + tmin * da_w
+                vw = ob_w + tmin * db_w
                 t_out[g:g + 1, :] = jnp.where(improved, tmin, tb)
                 prim_out[g:g + 1, :] = jnp.where(
                     improved, cidx * tc + idx, prim_out[g:g + 1, :])

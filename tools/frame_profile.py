@@ -98,6 +98,13 @@ VARIANTS = {
     "fpair": dict(bounce_traversal="same", fused_pair=True),
     "tsort-fpair": dict(bounce_traversal="tsort", shadow_sort=True,
                         fused_pair=True),
+    # round-4 dense cluster leaves (bvh/cluster.py): subtree-sized MXU
+    # pops; megacluster composes them into the on-core bounce loop.
+    "cluster": dict(cluster_tris=128),
+    "cluster256": dict(cluster_tris=256),
+    "cluster-nonee": dict(cluster_tris=128, nee_enabled=False),
+    "megacluster": dict(megakernel="on", cluster_tris=128),
+    "megacluster256": dict(megakernel="on", cluster_tris=256),
 }
 
 names = _ARGS.variants.split(",")
