@@ -307,7 +307,7 @@ def _kernel(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     rows_ref, cl_ref,
                     t_out, prim_out, u_out, v_out, stats_out,
-                    stack, sp_ref, clbuf, sem,
+                    stack, sp_ref, clbuf, sem, kstack, tmax_pk,
                     *, stack_depth: int, tc: int, any_hit: bool,
                     table_in_vmem: bool, cl_in_vmem: bool, ordered: bool,
                     arity: int = 8):
@@ -322,6 +322,15 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     pops and its internal-node pops (VERDICT r3 #1/#3; the reference's
     unused Arenberg form, src/shaders/common/Geometry.glsl:279-310).
 
+    t-pruned pop SKIP (ordered closest only): pushes record the packet-
+    min entry distance in a parallel key stack (kstack); tmax_pk tracks
+    an upper bound of the packet's per-ray t (refreshed after each
+    cluster pop that ran — one reduce+extract against ~us of saved
+    epilogue). A cluster pop whose recorded key exceeds the bound can
+    contribute nothing and skips its whole vector body — recovering at
+    pop time part of the per-ray pruning the packet union loses.
+    Conservative and exact: the bound only LAGS the true max.
+
     prim_out is cluster-LOCAL: cidx * tc + slot. Callers remap through
     cluster_refs (one [N] gather per trace).
     """
@@ -334,28 +343,35 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 
     root = root_ref[pl.program_id(0)]
     stack[0] = root
+    kstack[0] = -jnp.inf  # root always runs
+    tmax_pk[0] = jnp.max(tmax_ref[...])
     if stats_out is not None:
         ctr_ref = stats_out[1]
         ctr_ref[0] = 0  # node pops
-        ctr_ref[1] = 0  # cluster pops
+        ctr_ref[1] = 0  # cluster pops RUN
+        ctr_ref[2] = 0  # cluster pops SKIPPED (t-pruned)
     any_active = ((jnp.sum(act_ref[...].astype(jnp.int32)) > 0)
                   & (root != _INVALID))
 
     def body(carry):
         sp, slot = carry
         entry = stack[sp - 1]
+        ekey = kstack[sp - 1]
         sp = sp - 1
         is_leaf = entry < 0
         packed = jnp.where(is_leaf, -(entry + 1), 0)
         cidx = packed >> 4
         nidx = jnp.maximum(entry, 0)
+        # Skip decision (scalar): a cluster whose packet-min entry
+        # distance is beyond every ray's current t cannot improve a hit.
+        run_cl = jnp.logical_not(is_leaf) | (ekey < tmax_pk[0])
 
         act = act_ref[...]
         rays_on = act & (prim_out[...] < 0) if any_hit else act
 
         sp_ref[0] = sp
         if stats_out is not None:
-            which = jnp.where(is_leaf, 1, 0)
+            which = jnp.where(is_leaf, jnp.where(run_cl, 1, 2), 0)
             ctr_ref[which] = ctr_ref[which] + 1
 
         # ---- node phase (identical to _kernel's) -------------------------
@@ -405,6 +421,8 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                         & (centry != _INVALID)
                     idx = jnp.minimum(new_sp, stack_depth - 1)
                     stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    # No keys on the unordered path: -inf = never skip.
+                    kstack[idx] = jnp.where(pushed, -jnp.inf, kstack[idx])
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
             else:
@@ -431,11 +449,12 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     pushed = k < jnp.inf
                     idx = jnp.minimum(new_sp, stack_depth - 1)
                     stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    kstack[idx] = jnp.where(pushed, k, kstack[idx])
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
 
         # ---- cluster phase ------------------------------------------------
-        @pl.when(is_leaf)
+        @pl.when(is_leaf & run_cl)
         def _():
             if cl_in_vmem:
                 blk = cl_ref[pl.ds(cidx * 8, 8), :]      # [8, 3*tc]
@@ -508,6 +527,11 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                                               u_out[g:g + 1, :])
                 v_out[g:g + 1, :] = jnp.where(improved, vw,
                                               v_out[g:g + 1, :])
+            # Refresh the packet t bound (one reduce+extract against the
+            # ~us epilogue just paid; enables skipping later clusters).
+            if not any_hit:
+                tmax_pk[0] = jnp.min(jnp.stack(
+                    [tmax_pk[0], jnp.max(t_out[...])]))
 
         sp = sp_ref[0]
         if any_hit:
@@ -522,7 +546,8 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     if stats_out is not None:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         stats_out[0][...] = (jnp.where(lane == 0, ctr_ref[0], 0)
-                             + jnp.where(lane == 1, ctr_ref[1], 0))
+                             + jnp.where(lane == 1, ctr_ref[1], 0)
+                             + jnp.where(lane == 2, ctr_ref[2], 0))
 
 
 def _kernel_multi(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
@@ -1432,7 +1457,10 @@ def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
 def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
                       roots, *, P, K, G, stack_depth, any_hit, interpret,
                       with_stats, ordered, arity: int = 8):
-    """pallas_call plumbing for the dense cluster-leaf kernel."""
+    """pallas_call plumbing for the dense cluster-leaf kernel.
+
+    with_stats appends [P, 3]: node pops, cluster pops RUN, cluster pops
+    SKIPPED by the t-pruned pop skip."""
     tc3 = cluster_rows.shape[1]
     if tc3 % (3 * LANES) != 0:
         raise ValueError(f"cluster row width {tc3} must be 3*Tc, "
@@ -1468,14 +1496,14 @@ def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
     def entry(root_r, o_r, d_r, i_r, tm_r, ac_r, rows_r, cl_r, t_o, p_o,
               u_o, v_o, *rest):
         if with_stats:
-            st_o, stack, spr, clb, sm, ctr = rest
+            st_o, stack, spr, clb, sm, kst, tpk, ctr = rest
             st_view = (st_o.at[0], ctr)
         else:
-            stack, spr, clb, sm = rest
+            stack, spr, clb, sm, kst, tpk = rest
             st_view = None
         kernel(root_r, o_r.at[0], d_r.at[0], i_r.at[0], tm_r.at[0],
                ac_r.at[0], rows_r, cl_r, t_o.at[0], p_o.at[0], u_o.at[0],
-               v_o.at[0], st_view, stack, spr, clb, sm)
+               v_o.at[0], st_view, stack, spr, clb, sm, kst, tpk)
 
     outs = pl.pallas_call(
         entry,
@@ -1490,8 +1518,10 @@ def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((8, 3 * tc), jnp.float32),
-                        pltpu.SemaphoreType.DMA]
-                   + ([pltpu.SMEM((2,), jnp.int32)] if with_stats else []),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SMEM((stack_depth,), jnp.float32),
+                        pltpu.SMEM((1,), jnp.float32)]
+                   + ([pltpu.SMEM((3,), jnp.int32)] if with_stats else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 node_bytes + (cl_bytes if cl_in_vmem else 0)
@@ -1508,5 +1538,5 @@ def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
     result = (t.reshape(P, K), prim.reshape(P, K),
               u.reshape(P, K), v.reshape(P, K))
     if with_stats:
-        return result + (outs[4][:, 0, 0:2],)
+        return result + (outs[4][:, 0, 0:3],)
     return result

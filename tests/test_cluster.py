@@ -191,11 +191,13 @@ def test_cluster_stats_counters():
         interpret=True, with_stats=True,
         cluster_rows=scene.bvh.cluster_rows)
     stats = np.asarray(out[4])
-    assert stats.shape == (1, 2)
+    assert stats.shape == (1, 3)
     node_pops, cluster_pops = int(stats[0, 0]), int(stats[0, 1])
+    skipped = int(stats[0, 2])
     ncl = scene.bvh.cluster_rows.shape[0] // 8
     assert node_pops >= 1
     assert 1 <= cluster_pops <= ncl  # bounded by cluster count per packet
+    assert skipped >= 0  # t-pruned pop skips (counted, not run)
 
 
 def test_cluster_megakernel_matches_mt_mega():

@@ -115,12 +115,16 @@ def main() -> None:
                 cluster_rows=(scene.bvh.cluster_rows if tc else None))
             st = np.asarray(out[4])
             label = f"tc={tc or 'MT'} {name}"
+            skip = (f" skipped p50={np.median(st[:, 2]):.0f} "
+                    f"mean={st[:, 2].mean():.0f}"
+                    if st.shape[1] > 2 else "")
             print(f"{label}: node pops/packet p50="
                   f"{np.median(st[:, 0]):.0f} mean={st[:, 0].mean():.0f} "
                   f"| {'cluster' if tc else 'leaf'} pops/packet "
                   f"p50={np.median(st[:, 1]):.0f} "
-                  f"mean={st[:, 1].mean():.0f} "
-                  f"| total/ray={(st.sum()) / N:.3f}", flush=True)
+                  f"mean={st[:, 1].mean():.0f}{skip} "
+                  f"| total RUN/ray={(st[:, 0:2].sum()) / N:.3f}",
+                  flush=True)
 
 
 if __name__ == "__main__":
