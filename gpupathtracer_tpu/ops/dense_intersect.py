@@ -140,10 +140,12 @@ def _kernel(o_ref, d_ref, tmax_ref, act_ref, wd_ref, wo_ref,
                 axis=1)                          # [4, 3*tile]
             md = jax.lax.dot_general(
                 d3, wd_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # [R, 3*tile]
+                preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # [R, 3*tile]
             mo = jax.lax.dot_general(
                 o4, wo_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             da = md[:, 0 * tile:1 * tile]
             db = md[:, 1 * tile:2 * tile]
             dc = md[:, 2 * tile:3 * tile]

@@ -241,8 +241,11 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         x = x ^ (x >> 15)
         x = x * jnp.uint32(0x846CA68B)
         x = x ^ (x >> 16)
-        return ((x >> 8).astype(jnp.float32)
-                * jnp.float32(1.0 / 16777216.0))
+        # Mosaic has no uint32 -> float32 cast (measured on-chip,
+        # cluster_tpu_smoke r4 s2); x >> 8 < 2^24 so the int32 view is
+        # value-identical and int32 -> f32 lowers fine.
+        x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+        return x24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
     # --- state init --------------------------------------------------------
     for a in range(3):
@@ -364,10 +367,12 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                             [o[a][g:g + 1, :] for a in range(3)] + [ones],
                             axis=0)
                         md = jax.lax.dot_general(
-                            wd, dg, dn, preferred_element_type=jnp.float32)
+                            wd, dg, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                         mo = jax.lax.dot_general(
                             wo4, og4, dn,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                         da = md[0:tc]
                         db = md[tc:2 * tc]
                         dc = md[2 * tc:3 * tc]
@@ -390,7 +395,8 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                         onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
                         cap = jax.lax.dot_general(
                             capop, onef, dnc,
-                            preferred_element_type=jnp.float32)  # [4, 128]
+                            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [4, 128]
                         cap_t[g:g + 1, :] = jnp.where(improved, tmin, tb)
                         cap_prim[g:g + 1, :] = jnp.where(
                             improved, cidx * tc + idx,
@@ -538,10 +544,12 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                             [o[a][g:g + 1, :] for a in range(3)] + [ones],
                             axis=0)
                         md = jax.lax.dot_general(
-                            wd, dg, dn, preferred_element_type=jnp.float32)
+                            wd, dg, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                         mo = jax.lax.dot_general(
                             wo4, og4, dn,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                         t = mo[2 * tc:3 * tc] / md[2 * tc:3 * tc]
                         uu = mo[0:tc] + t * md[0:tc]
                         vv = mo[tc:2 * tc] + t * md[tc:2 * tc]

@@ -310,7 +310,7 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     stack, sp_ref, clbuf, sem, kstack, tmax_pk,
                     *, stack_depth: int, tc: int, any_hit: bool,
                     table_in_vmem: bool, cl_in_vmem: bool, ordered: bool,
-                    arity: int = 8):
+                    arity: int = 8, pop_skip: bool = False):
     """Single-pop traversal with DENSE CLUSTER leaves on the MXU.
 
     Node phase = _kernel's (8-child slab tests, ordered or packed-bits
@@ -322,14 +322,15 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     pops and its internal-node pops (VERDICT r3 #1/#3; the reference's
     unused Arenberg form, src/shaders/common/Geometry.glsl:279-310).
 
-    t-pruned pop SKIP (ordered closest only): pushes record the packet-
-    min entry distance in a parallel key stack (kstack); tmax_pk tracks
-    an upper bound of the packet's per-ray t (refreshed after each
-    cluster pop that ran — one reduce+extract against ~us of saved
-    epilogue). A cluster pop whose recorded key exceeds the bound can
-    contribute nothing and skips its whole vector body — recovering at
-    pop time part of the per-ray pruning the packet union loses.
-    Conservative and exact: the bound only LAGS the true max.
+    t-pruned pop SKIP (pop_skip=True, ordered closest only): pushes
+    record the packet-min entry distance in a parallel key stack; tmax_pk
+    tracks an upper bound of the packet's per-ray t (one reduce+extract
+    per cluster pop). Exact and conservative — but MEASURED 0 skips on
+    both sponza (open scene: any miss ray pins the bound at t_max) and
+    bathroom (the slowest ray's t exceeds every cluster's entry key)
+    incoherent sets (tools/cluster_pops.py, PERF.md round-4 s2), so the
+    default is OFF: the refresh sync would cost ~0.1-0.2 us per cluster
+    pop for nothing. Kept behind the flag per the perf protocol.
 
     prim_out is cluster-LOCAL: cidx * tc + slot. Callers remap through
     cluster_refs (one [N] gather per trace).
@@ -343,8 +344,9 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
 
     root = root_ref[pl.program_id(0)]
     stack[0] = root
-    kstack[0] = -jnp.inf  # root always runs
-    tmax_pk[0] = jnp.max(tmax_ref[...])
+    if pop_skip:
+        kstack[0] = -jnp.inf  # root always runs
+        tmax_pk[0] = jnp.max(tmax_ref[...])
     if stats_out is not None:
         ctr_ref = stats_out[1]
         ctr_ref[0] = 0  # node pops
@@ -356,7 +358,7 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
     def body(carry):
         sp, slot = carry
         entry = stack[sp - 1]
-        ekey = kstack[sp - 1]
+        ekey = kstack[sp - 1] if pop_skip else None
         sp = sp - 1
         is_leaf = entry < 0
         packed = jnp.where(is_leaf, -(entry + 1), 0)
@@ -364,14 +366,19 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
         nidx = jnp.maximum(entry, 0)
         # Skip decision (scalar): a cluster whose packet-min entry
         # distance is beyond every ray's current t cannot improve a hit.
-        run_cl = jnp.logical_not(is_leaf) | (ekey < tmax_pk[0])
+        if pop_skip:
+            run_cl = jnp.logical_not(is_leaf) | (ekey < tmax_pk[0])
+        else:
+            run_cl = True
 
         act = act_ref[...]
         rays_on = act & (prim_out[...] < 0) if any_hit else act
 
         sp_ref[0] = sp
         if stats_out is not None:
-            which = jnp.where(is_leaf, jnp.where(run_cl, 1, 2), 0)
+            which = jnp.where(is_leaf,
+                              1 if not pop_skip
+                              else jnp.where(run_cl, 1, 2), 0)
             ctr_ref[which] = ctr_ref[which] + 1
 
         # ---- node phase (identical to _kernel's) -------------------------
@@ -421,8 +428,10 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                         & (centry != _INVALID)
                     idx = jnp.minimum(new_sp, stack_depth - 1)
                     stack[idx] = jnp.where(pushed, centry, stack[idx])
-                    # No keys on the unordered path: -inf = never skip.
-                    kstack[idx] = jnp.where(pushed, -jnp.inf, kstack[idx])
+                    if pop_skip:
+                        # No keys on the unordered path: never skip.
+                        kstack[idx] = jnp.where(pushed, -jnp.inf,
+                                                kstack[idx])
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
             else:
@@ -449,12 +458,13 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                     pushed = k < jnp.inf
                     idx = jnp.minimum(new_sp, stack_depth - 1)
                     stack[idx] = jnp.where(pushed, centry, stack[idx])
-                    kstack[idx] = jnp.where(pushed, k, kstack[idx])
+                    if pop_skip:
+                        kstack[idx] = jnp.where(pushed, k, kstack[idx])
                     new_sp = new_sp + jnp.where(pushed, 1, 0)
                 sp_ref[0] = new_sp
 
         # ---- cluster phase ------------------------------------------------
-        @pl.when(is_leaf & run_cl)
+        @pl.when((is_leaf & run_cl) if pop_skip else is_leaf)
         def _():
             if cl_in_vmem:
                 blk = cl_ref[pl.ds(cidx * 8, 8), :]      # [8, 3*tc]
@@ -487,9 +497,11 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 # matmuls; K=3/4 caps MXU utilization (~2%) — the win is
                 # pop-count collapse + MXU/VPU concurrency, not peak.
                 md = jax.lax.dot_general(
-                    wd, dg, dn, preferred_element_type=jnp.float32)
+                    wd, dg, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                 mo = jax.lax.dot_general(
-                    wo4, og4, dn, preferred_element_type=jnp.float32)
+                    wo4, og4, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                 da, db, dc = md[0:tc], md[tc:2 * tc], md[2 * tc:3 * tc]
                 oa, ob, num = mo[0:tc], mo[tc:2 * tc], mo[2 * tc:3 * tc]
                 t = num / dc                             # [tc, 128]
@@ -509,7 +521,8 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
                 cap = jax.lax.dot_general(
                     capop, onef, dnc,
-                    preferred_element_type=jnp.float32)  # [8, 128]
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [8, 128]
                 da_w = (cap[0:1] * dg[0:1] + cap[1:2] * dg[1:2]
                         + cap[2:3] * dg[2:3])
                 oa_w = (cap[0:1] * og[0:1] + cap[1:2] * og[1:2]
@@ -529,7 +542,7 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                                               v_out[g:g + 1, :])
             # Refresh the packet t bound (one reduce+extract against the
             # ~us epilogue just paid; enables skipping later clusters).
-            if not any_hit:
+            if pop_skip and not any_hit:
                 tmax_pk[0] = jnp.min(jnp.stack(
                     [tmax_pk[0], jnp.max(t_out[...])]))
 
@@ -1244,14 +1257,15 @@ def _kernel_pair(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                                              "any_hit", "interpret",
                                              "with_stats", "ordered",
                                              "multi_pop", "interleave",
-                                             "arity", "fused_pair"))
+                                             "arity", "fused_pair",
+                                             "pop_skip"))
 def traverse_pallas(rows, o, d, t_max, active, roots=None,
                     stack_depth: int = 48, leaf_size: int = 4,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, ordered: bool = True,
                     multi_pop: int = 1, interleave: int = 1,
                     arity: int = 8, fused_pair: bool = False,
-                    cluster_rows=None):
+                    cluster_rows=None, pop_skip: bool = False):
     """o, d: [P, K, 3]; t_max, active: [P, K]; rows [M, 128].
     K must be a multiple of 128 (rays are shaped into full VPU tiles).
     roots: optional [P] i32 initial stack entry per packet (default: the
@@ -1293,7 +1307,8 @@ def traverse_pallas(rows, o, d, t_max, active, roots=None,
                                  active, roots, P=P, K=K, G=G,
                                  stack_depth=stack_depth, any_hit=any_hit,
                                  interpret=interpret, with_stats=with_stats,
-                                 ordered=ordered, arity=arity)
+                                 ordered=ordered, arity=arity,
+                                 pop_skip=pop_skip)
     if interleave > 1:
         return _traverse_ilv(rows, oT, dT, invT, t_max, active, roots,
                              P=P, K=K, G=G, stack_depth=stack_depth,
@@ -1456,7 +1471,8 @@ def _traverse_ilv(rows, oT, dT, invT, t_max, active, roots, *,
 
 def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
                       roots, *, P, K, G, stack_depth, any_hit, interpret,
-                      with_stats, ordered, arity: int = 8):
+                      with_stats, ordered, arity: int = 8,
+                      pop_skip: bool = False):
     """pallas_call plumbing for the dense cluster-leaf kernel.
 
     with_stats appends [P, 3]: node pops, cluster pops RUN, cluster pops
@@ -1475,7 +1491,7 @@ def _traverse_cluster(rows, cluster_rows, oT, dT, invT, t_max, active,
     kernel = functools.partial(_kernel_cluster, stack_depth=stack_depth,
                                tc=tc, any_hit=any_hit, table_in_vmem=True,
                                cl_in_vmem=cl_in_vmem, ordered=ordered,
-                               arity=arity)
+                               arity=arity, pop_skip=pop_skip)
     grid = (P,)
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -42,6 +42,9 @@ def main() -> None:
                     help="coherent,incoherent")
     ap.add_argument("--sort", default="tsort", choices=["tsort", "none"])
     ap.add_argument("--any-hit", action="store_true")
+    ap.add_argument("--pop-skip", action="store_true",
+                    help="t-pruned cluster-pop skip (MEASURED 0 skips on "
+                         "sponza/bathroom incoherent — kept for re-checks)")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +115,7 @@ def main() -> None:
                 stack_depth=meta.stack_depth,
                 leaf_size=meta.leaf_size, any_hit=args.any_hit,
                 ordered=not args.any_hit, with_stats=True, interpret=True,
+                pop_skip=args.pop_skip,
                 cluster_rows=(scene.bvh.cluster_rows if tc else None))
             st = np.asarray(out[4])
             label = f"tc={tc or 'MT'} {name}"
