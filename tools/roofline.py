@@ -52,8 +52,13 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
+_FLOOR_S = [0.0]  # measured dispatch+readback floor, set in main()
+
+
 def timed(fn, reps, label, work, unit="Top/s"):
-    """Median wall time of fn() over reps; prints achieved work/s."""
+    """Median wall time of fn() over reps, NET of the dispatch+readback
+    floor (through a degraded tunnel the floor is ~30 ms and would
+    otherwise swamp every probe); prints achieved work/s."""
     fn()  # compile + warm
     ts = []
     for _ in range(reps):
@@ -62,10 +67,12 @@ def timed(fn, reps, label, work, unit="Top/s"):
         ts.append(time.time() - t0)
     med = statistics.median(ts)
     spread = (max(ts) - min(ts)) / med if med > 0 else 0.0
-    rate = work / med
-    print(f"{label:52s} {med*1e3:9.3f} ms  {rate/1e12:8.3f} {unit} "
-          f"(spread {spread:.0%})", flush=True)
-    return rate, med
+    net = max(med - _FLOOR_S[0], 1e-9)
+    rate = work / net
+    flag = " [<2x floor!]" if med < 2 * _FLOOR_S[0] else ""
+    print(f"{label:52s} {net*1e3:9.3f} ms  {rate/1e12:8.3f} {unit} "
+          f"(spread {spread:.0%}{flag})", flush=True)
+    return rate, net
 
 
 # ---------------------------------------------------------------------------
@@ -76,7 +83,9 @@ def vpu_kernel(x_ref, o_ref, *, iters, ilp):
     """ilp independent accumulator chains, 4 ops per chain per step
     (2 mul + 1 add + 1 max), iterated `iters` times on the resident tile."""
     accs = [x_ref[...] * (1.0 + 1e-4 * k) for k in range(ilp)]
-    scale = x_ref[0:1, 0:1] * 1e-6 + 0.9999  # data-dependent, ~1
+    # Data-dependent ~1 scale as a [1, LANES] row: Mosaic cannot broadcast
+    # [1,1] in both sublanes and lanes (measured on-chip, r4 s2).
+    scale = x_ref[0:1, :] * 1e-6 + 0.9999
 
     def body(i, accs):
         out = []
@@ -116,20 +125,23 @@ def run_vpu(reps, interpret, iters=4096, ilp=8, shape=(64, 128)):
 # 2. MXU matmul peaks
 # ---------------------------------------------------------------------------
 
-def mxu_kernel(a_ref, b_ref, o_ref, *, iters, out_dtype):
+def mxu_kernel(a_ref, b_ref, o_ref, *, iters, out_dtype, precision=None):
     acc = jnp.zeros(o_ref.shape, out_dtype)
 
     def body(i, acc):
         # acc feeds back into a so the loop cannot be hoisted; the add is
-        # negligible VPU work next to the dot.
-        a = a_ref[...] + (acc[0:1, 0:1] * 1e-30).astype(a_ref.dtype)
+        # negligible VPU work next to the dot. Lane-only broadcast of an
+        # [M, 1] column (a [1,1] both-dims broadcast is unsupported).
+        a = a_ref[...] + (acc[:, 0:1] * 1e-30).astype(a_ref.dtype)
         return acc + jnp.dot(a, b_ref[...],
-                             preferred_element_type=out_dtype)
+                             preferred_element_type=out_dtype,
+                             precision=precision)
 
     o_ref[...] = jax.lax.fori_loop(0, iters, body, acc)
 
 
-def run_mxu(reps, interpret, M, K, N, dtype, iters=512, label=""):
+def run_mxu(reps, interpret, M, K, N, dtype, iters=512, label="",
+            precision=None):
     a = jnp.ones((M, K), dtype) * 0.01
     b = jnp.ones((K, N), dtype) * 0.01
 
@@ -137,7 +149,7 @@ def run_mxu(reps, interpret, M, K, N, dtype, iters=512, label=""):
     def go(a, b):
         return pl.pallas_call(
             functools.partial(mxu_kernel, iters=iters,
-                              out_dtype=jnp.float32),
+                              out_dtype=jnp.float32, precision=precision),
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -155,13 +167,17 @@ def run_mxu(reps, interpret, M, K, N, dtype, iters=512, label=""):
 # 3. HBM bandwidth (XLA level)
 # ---------------------------------------------------------------------------
 
-def run_hbm(reps, n_bytes=512 * 1024 * 1024):
+def run_hbm(reps, n_bytes=512 * 1024 * 1024, passes=8):
     n = n_bytes // 4
     x = jnp.ones((n,), jnp.float32)
 
     @jax.jit
     def go(x):
-        return x * 1.0001 + 0.5
+        # `passes` chained elementwise sweeps: enough HBM traffic to
+        # stand clear of the dispatch floor even on a degraded tunnel.
+        for _ in range(passes):
+            x = x * 1.0001 + 0.5
+        return x
 
     y = go(x)
     _sync(y[:8])
@@ -170,9 +186,9 @@ def run_hbm(reps, n_bytes=512 * 1024 * 1024):
         t0 = time.time()
         _sync(go(x)[:8])
         ts.append(time.time() - t0)
-    med = statistics.median(ts)
-    bw = 2 * n_bytes / med  # read + write
-    print(f"{'HBM elementwise pass (512 MB, read+write)':52s} "
+    med = max(statistics.median(ts) - _FLOOR_S[0], 1e-9)
+    bw = 2 * n_bytes * passes / med  # read + write per pass
+    print(f"{f'HBM elementwise x{passes} (512 MB, read+write)':52s} "
           f"{med*1e3:9.3f} ms  {bw/1e9:8.1f} GB/s", flush=True)
     return bw
 
@@ -261,7 +277,7 @@ def leaf_mt_kernel(row_ref, o_ref, d_ref, inv_ref, out_ref, *, iters, G,
 
 
 def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
-                         iters, G, tc):
+                         iters, G, tc, precision=None):
     """The exact cluster leaf-phase body of _kernel_cluster (two K=3/4
     matmuls per ray tile + the ~20-op epilogue with running argmin and
     u/v one-hot capture), iterated without pop machinery. One iteration =
@@ -286,9 +302,11 @@ def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
             og4 = jnp.concatenate([o[a, g:g + 1, :] for a in range(3)]
                                   + [ones], axis=0)
             md = jax.lax.dot_general(wd, dg, dn,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
             mo = jax.lax.dot_general(wo4, og4, dn,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
             t = mo[2 * tc:3 * tc] / md[2 * tc:3 * tc]
             uu = mo[0:tc] + t * md[0:tc]
             vv = mo[tc:2 * tc] + t * md[tc:2 * tc]
@@ -310,7 +328,8 @@ def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
     out_ref[...] = jax.lax.fori_loop(0, iters, body, t_state)
 
 
-def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048):
+def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048,
+                      precision=None, label=""):
     rng = np.random.RandomState(0)
     blk = jnp.asarray(rng.uniform(-1, 1, (16, 3 * tc)).astype(np.float32))
     o = jnp.zeros((3, G, 128), jnp.float32) + 0.5
@@ -321,7 +340,7 @@ def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048):
     def go(blk, o, d, inv):
         return pl.pallas_call(
             functools.partial(cluster_dense_kernel, iters=iters, G=G,
-                              tc=tc),
+                              tc=tc, precision=precision),
             out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -331,7 +350,7 @@ def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048):
     # Per (ray, tri) pair: ~20 VPU el-ops (epilogue) + 14 MXU flops.
     pairs = tc * 128 * G * iters
     rate, med = timed(lambda: _sync(go(blk, o, d, inv)), reps,
-                      f"cluster dense body x{iters} (G={G}, tc={tc})",
+                      f"cluster dense body x{iters} (G={G}, tc={tc}{label})",
                       20 * pairs)
     print(f"    -> {med/iters*1e9:.0f} ns per cluster-pop vector body "
           f"({med/iters/(tc*128*G)*1e12:.2f} ps/pair)")
@@ -401,12 +420,16 @@ def main():
     rtts.sort()
     rtt = rtts[len(rtts) // 2] * 1e3
     print(f"# tunnel RTT {rtt:.2f} ms "
-          f"({'OK' if rtt < 8 else 'DEGRADED — rates are lower bounds'})",
+          f"({'OK' if rtt < 8 else 'DEGRADED — probes are sized and '
+                                   'floor-subtracted to stay valid'})",
           flush=True)
+    _FLOOR_S[0] = rtt / 1e3
+    print(f"# subtracting {rtt:.1f} ms dispatch+readback floor from every "
+          f"probe; probes reading < 2x floor are flagged", flush=True)
 
     reps = args.reps
-    it = 256 if (args.cpu or args.quick) else 4096
-    mit = 64 if (args.cpu or args.quick) else 512
+    it = 256 if (args.cpu or args.quick) else 1 << 21
+    mit = 64 if (args.cpu or args.quick) else 1 << 17
 
     print("\n== 1. VPU elementwise peak ==")
     run_vpu(reps, interpret, iters=it, ilp=8)
@@ -417,11 +440,26 @@ def main():
     run_mxu(reps, interpret, 128, 128, 128, jnp.float32, iters=mit)
     run_mxu(reps, interpret, 128, 128, 128, jnp.bfloat16, iters=mit)
     run_mxu(reps, interpret, 512, 512, 512, jnp.bfloat16,
-            iters=max(mit // 8, 8))
+            iters=max(mit // 32, 8))
     run_mxu(reps, interpret, 2048, 3, 384, jnp.float32,
             iters=max(mit // 4, 8), label="(ray K=3 shape)")
     run_mxu(reps, interpret, 2048, 128, 32, jnp.float32,
             iters=max(mit // 4, 8), label="(one-hot gather shape)")
+    # The precision tiers the ray math can actually use: default f32
+    # lowers to SINGLE-PASS bf16 on the MXU (t drifted ~1e-2, measured
+    # r4 s2); HIGH = bf16x3 (~f32-ish), HIGHEST = bf16x6.
+    import jax.lax as _lax
+    run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
+            iters=max(mit // 4, 8), label="(cluster per-g shape, default)")
+    run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
+            iters=max(mit // 4, 8), label="(cluster per-g, HIGHEST)",
+            precision=_lax.Precision.HIGHEST)
+    run_mxu(reps, interpret, 384, 3, 2048, jnp.float32,
+            iters=max(mit // 4, 8), label="(cluster whole-packet, HIGHEST)",
+            precision=_lax.Precision.HIGHEST)
+    run_mxu(reps, interpret, 768, 7, 2048, jnp.float32,
+            iters=max(mit // 4, 8), label="(cluster merged K=7, HIGHEST)",
+            precision=_lax.Precision.HIGHEST)
 
     if not args.cpu:
         print("\n== 3. HBM bandwidth ==")
@@ -429,10 +467,15 @@ def main():
 
     print("\n== 4. Traversal-phase compute floors ==")
     run_phase_floors(reps, interpret, G=16,
-                     iters=256 if (args.cpu or args.quick) else 8192)
+                     iters=256 if (args.cpu or args.quick) else 1 << 17)
+    import jax.lax as _lax2
     for tc in (128, 256):
         run_cluster_floor(reps, interpret, G=16, tc=tc,
-                          iters=16 if (args.cpu or args.quick) else 2048)
+                          iters=16 if (args.cpu or args.quick) else 1 << 14)
+        run_cluster_floor(reps, interpret, G=16, tc=tc,
+                          iters=16 if (args.cpu or args.quick) else 1 << 14,
+                          precision=_lax2.Precision.HIGHEST,
+                          label=", HIGHEST")
 
     print("\nInterpretation: compare the phase floors against the measured "
           "460 ns/pop (PERF.md) — the delta is the latency/sync/scalar "
