@@ -364,6 +364,23 @@ def main() -> None:
               file=sys.stderr)
         extra["bathroom_1024spp_720p_s"] = round(bath_full_s, 1)
 
+    # Roofline / MFU probes (VERDICT r3 #2): bank chip peaks + the exact
+    # pop vector-body floors in the bench JSON so the account exists even
+    # when the build sessions never saw a healthy tunnel. Runs LAST (it
+    # hammers the chip; the fps configs are backpressure-sensitive) and
+    # never fails the bench.
+    if not quick:
+        try:
+            sys.path.insert(0, "tools")
+            import roofline
+            t0 = time.time()
+            extra["roofline"] = roofline.run_compact(reps=3)
+            print(f"# roofline probes banked in {time.time()-t0:.0f}s: "
+                  f"{extra['roofline']}", file=sys.stderr)
+        except Exception as e:
+            print(f"# roofline probes FAILED (bench continues): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # Exit probe: tunnel weather can change mid-run; a bench is flagged
     # degraded if EITHER probe is, so cross-round comparisons never
     # mistake tunnel weather for code regressions (VERDICT r3 weak #7).

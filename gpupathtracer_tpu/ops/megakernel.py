@@ -384,12 +384,16 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                         vv = ob + t * db
                         tb = cap_t[g:g + 1, :]
                         on_g = on[g:g + 1, :]
+                        # t<tb / activity mask on the [1,128] reduced
+                        # result, not per pair (see _kernel_cluster): the
+                        # argmin winner is identical and writes are
+                        # masked — two fewer [tc,128] passes per pop.
                         valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
-                                 & (t > 0.0) & (t < tb) & on_g)
+                                 & (t > 0.0))
                         score = jnp.where(valid, t, jnp.inf)
                         tmin = jnp.min(score, axis=0, keepdims=True)
-                        improved = tmin < tb
-                        sel = valid & (score <= tmin)
+                        improved = (tmin < tb) & on_g
+                        sel = score <= tmin
                         idx = jnp.min(jnp.where(sel, subi, tc), axis=0,
                                       keepdims=True)
                         onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
@@ -555,10 +559,14 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                         vv = mo[tc:2 * tc] + t * md[tc:2 * tc]
                         tm_g = tmax[g:g + 1, :]
                         on_g = rays_on[g:g + 1, :]
+                        # Occluded iff min valid t < tmax — the per-pair
+                        # t<tm_g / mask passes collapse onto the [1,128]
+                        # reduced result (see _kernel_cluster).
                         valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
-                                 & (t > 0.0) & (t < tm_g) & on_g)
-                        hit = jnp.max(jnp.where(valid, 1, 0), axis=0,
-                                      keepdims=True) > 0
+                                 & (t > 0.0))
+                        tmin = jnp.min(jnp.where(valid, t, jnp.inf),
+                                       axis=0, keepdims=True)
+                        hit = (tmin < tm_g) & on_g
                         cap_prim[g:g + 1, :] = jnp.where(
                             hit, 0, cap_prim[g:g + 1, :])
             else:

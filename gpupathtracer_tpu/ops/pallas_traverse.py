@@ -510,12 +510,30 @@ def _kernel_cluster(root_ref, o_ref, d_ref, inv_ref, tmax_ref, act_ref,
                 tb = t_out[g:g + 1, :]                   # [1, 128]
                 on_g = rays_on[g:g + 1, :]
                 # Padding columns: dc = num = 0 => t = NaN, all False.
+                # t<tb and the activity mask apply to the [1,128] REDUCED
+                # result, not per (ray, tri) pair: the argmin over t picks
+                # the same winner either way (if min t >= tb then no
+                # closer triangle existed at all), and masked lanes never
+                # write — two fewer [tc,128] passes per pop.
                 valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
-                         & (t > 0.0) & (t < tb) & on_g)
+                         & (t > 0.0))
                 score = jnp.where(valid, t, jnp.inf)
                 tmin = jnp.min(score, axis=0, keepdims=True)   # [1, 128]
-                improved = tmin < tb
-                sel = valid & (score <= tmin)
+                improved = (tmin < tb) & on_g
+                if any_hit:
+                    # Occlusion queries: every consumer reads only
+                    # prim >= 0 (traverse.py trace_occluded et al.), so
+                    # the winner argmin / one-hot capture matmul / u,v
+                    # recompute below are dead work — skip them. Roughly
+                    # halves the epilogue passes on shadow pops.
+                    prim_out[g:g + 1, :] = jnp.where(
+                        improved, cidx * tc, prim_out[g:g + 1, :])
+                    continue
+                # Winner selection: rows with score == tmin are valid by
+                # construction when tmin is finite (invalid rows hold
+                # inf); all-invalid columns select every row but the
+                # write is masked by `improved`.
+                sel = score <= tmin
                 idx = jnp.min(jnp.where(sel, subi, tc), axis=0,
                               keepdims=True)             # [1, 128]
                 onef = jnp.where(sel & (subi == idx), 1.0, 0.0)

@@ -270,7 +270,9 @@ def _pallas_hit(scene, o, d, t_max, active, *, stack_depth: int,
         fused_pair=fused_pair, interpret=interpret,
         cluster_rows=scene.bvh.cluster_rows if cluster else None)
     prim = prim.reshape(-1)[:n]
-    if cluster:
+    if cluster and not any_hit_mode:
+        # Occlusion consumers read only prim >= 0, which the cluster-
+        # local id already answers — skip the [N] remap gather.
         prim = remap_cluster_prims(scene, prim)
     return Hit(t=t.reshape(-1)[:n], prim=prim,
                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])

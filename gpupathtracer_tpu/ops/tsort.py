@@ -172,7 +172,9 @@ def _trace(scene, o, d, t_max, active, *, stack_depth: int, leaf_size: int,
                      u.reshape(NP)[:n], v.reshape(NP)[:n]], axis=1)
     out = res[inv]
     prim_out = jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
-    if cluster:
+    if cluster and not any_hit:
+        # Occlusion consumers read only prim >= 0 — cluster-local ids
+        # already carry the sign; skip the [N] remap gather.
         from gpupathtracer_tpu.ops.traverse import remap_cluster_prims
         prim_out = remap_cluster_prims(scene, prim_out)
     return Hit(t=out[:, 0], prim=prim_out, u=out[:, 2], v=out[:, 3])

@@ -53,6 +53,12 @@ def _sync(x):
 
 
 _FLOOR_S = [0.0]  # measured dispatch+readback floor, set in main()
+_OUT = [sys.stdout]  # bench.py redirects probe prints to stderr
+
+
+def _p(*args, **kw):
+    print(*args, file=_OUT[0], **{k: v for k, v in kw.items()
+                                  if k != "file"})
 
 
 def timed(fn, reps, label, work, unit="Top/s"):
@@ -70,8 +76,8 @@ def timed(fn, reps, label, work, unit="Top/s"):
     net = max(med - _FLOOR_S[0], 1e-9)
     rate = work / net
     flag = " [<2x floor!]" if med < 2 * _FLOOR_S[0] else ""
-    print(f"{label:52s} {net*1e3:9.3f} ms  {rate/1e12:8.3f} {unit} "
-          f"(spread {spread:.0%}{flag})", flush=True)
+    _p(f"{label:52s} {net*1e3:9.3f} ms  {rate/1e12:8.3f} {unit} "
+       f"(spread {spread:.0%}{flag})", flush=True)
     return rate, net
 
 
@@ -188,8 +194,8 @@ def run_hbm(reps, n_bytes=512 * 1024 * 1024, passes=8):
         ts.append(time.time() - t0)
     med = max(statistics.median(ts) - _FLOOR_S[0], 1e-9)
     bw = 2 * n_bytes * passes / med  # read + write per pass
-    print(f"{f'HBM elementwise x{passes} (512 MB, read+write)':52s} "
-          f"{med*1e3:9.3f} ms  {bw/1e9:8.1f} GB/s", flush=True)
+    _p(f"{f'HBM elementwise x{passes} (512 MB, read+write)':52s} "
+       f"{med*1e3:9.3f} ms  {bw/1e9:8.1f} GB/s", flush=True)
     return bw
 
 
@@ -277,17 +283,20 @@ def leaf_mt_kernel(row_ref, o_ref, d_ref, inv_ref, out_ref, *, iters, G,
 
 
 def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
-                         iters, G, tc, precision=None):
+                         iters, G, tc, precision=None, any_hit=False):
     """The exact cluster leaf-phase body of _kernel_cluster (two K=3/4
-    matmuls per ray tile + the ~20-op epilogue with running argmin and
-    u/v one-hot capture), iterated without pop machinery. One iteration =
-    one cluster pop at capacity tc."""
+    matmuls per ray tile + the epilogue), iterated without pop machinery.
+    One iteration = one cluster pop at capacity tc. Mirrors the production
+    body: t<tb / activity masks on the [1,128] reduced result, winner
+    coefficients captured via ONE one-hot [8,tc]x[tc,128] matmul; the
+    any_hit variant stops at the tmin reduce (no capture)."""
     del inv_ref
     o = o_ref[...]
     d = d_ref[...]
     ones = jnp.ones((1, 128), jnp.float32)
     subi = jax.lax.broadcasted_iota(jnp.int32, (tc, 128), 0)
     dn = (((0,), (0,)), ((), ()))
+    dnc = (((1,), (0,)), ((), ()))
     t_state = jnp.zeros((G, 128), jnp.float32) + 1e20
 
     def body(i, t_state):
@@ -295,12 +304,14 @@ def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
         blk = blk_ref[pl.ds(start, 8), :]
         wd = blk[0:3, :]
         wo4 = blk[3:7, :]
+        capop = jnp.concatenate([wo4[:, 0:tc], wo4[:, tc:2 * tc]], axis=0)
         outs = []
         for g in range(G):
             dg = jnp.concatenate([d[a, g:g + 1, :] for a in range(3)],
                                  axis=0)
-            og4 = jnp.concatenate([o[a, g:g + 1, :] for a in range(3)]
-                                  + [ones], axis=0)
+            og = jnp.concatenate([o[a, g:g + 1, :] for a in range(3)],
+                                 axis=0)
+            og4 = jnp.concatenate([og, ones], axis=0)
             md = jax.lax.dot_general(wd, dg, dn,
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
@@ -312,15 +323,29 @@ def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
             vv = mo[tc:2 * tc] + t * md[tc:2 * tc]
             tb = t_state[g:g + 1, :]
             valid = ((uu > 0.0) & (vv > 0.0) & (uu + vv < 1.0)
-                     & (t > 0.0) & (t < tb))
+                     & (t > 0.0))
             score = jnp.where(valid, t, jnp.inf)
             tmin = jnp.min(score, axis=0, keepdims=True)
             improved = tmin < tb
-            sel = valid & (score <= tmin)
+            if any_hit:
+                outs.append(jnp.where(improved, tmin * 0.999, tb))
+                continue
+            sel = score <= tmin
             idx = jnp.min(jnp.where(sel, subi, tc), axis=0, keepdims=True)
-            onehot = sel & (subi == idx)
-            uw = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0, keepdims=True)
-            vw = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0, keepdims=True)
+            onef = jnp.where(sel & (subi == idx), 1.0, 0.0)
+            cap = jax.lax.dot_general(capop, onef, dnc,
+                                      preferred_element_type=jnp.float32,
+                                      precision=precision)  # [8, 128]
+            da_w = (cap[0:1] * dg[0:1] + cap[1:2] * dg[1:2]
+                    + cap[2:3] * dg[2:3])
+            oa_w = (cap[0:1] * og[0:1] + cap[1:2] * og[1:2]
+                    + cap[2:3] * og[2:3] + cap[3:4])
+            db_w = (cap[4:5] * dg[0:1] + cap[5:6] * dg[1:2]
+                    + cap[6:7] * dg[2:3])
+            ob_w = (cap[4:5] * og[0:1] + cap[5:6] * og[1:2]
+                    + cap[6:7] * og[2:3] + cap[7:8])
+            uw = oa_w + tmin * da_w
+            vw = ob_w + tmin * db_w
             outs.append(jnp.where(improved, tmin * 0.999 + uw * 1e-9
                                   + vw * 1e-9, tb))
         return jnp.concatenate(outs, axis=0)
@@ -329,7 +354,7 @@ def cluster_dense_kernel(blk_ref, o_ref, d_ref, inv_ref, out_ref, *,
 
 
 def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048,
-                      precision=None, label=""):
+                      precision=None, label="", any_hit=False):
     rng = np.random.RandomState(0)
     blk = jnp.asarray(rng.uniform(-1, 1, (16, 3 * tc)).astype(np.float32))
     o = jnp.zeros((3, G, 128), jnp.float32) + 0.5
@@ -340,20 +365,21 @@ def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048,
     def go(blk, o, d, inv):
         return pl.pallas_call(
             functools.partial(cluster_dense_kernel, iters=iters, G=G,
-                              tc=tc, precision=precision),
+                              tc=tc, precision=precision, any_hit=any_hit),
             out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
         )(blk, o, d, inv)
 
-    # Per (ray, tri) pair: ~20 VPU el-ops (epilogue) + 14 MXU flops.
+    # Per (ray, tri) pair: ~16 VPU el-ops (epilogue) + 14 MXU flops.
     pairs = tc * 128 * G * iters
+    mode = ", any-hit" if any_hit else ""
     rate, med = timed(lambda: _sync(go(blk, o, d, inv)), reps,
-                      f"cluster dense body x{iters} (G={G}, tc={tc}{label})",
-                      20 * pairs)
-    print(f"    -> {med/iters*1e9:.0f} ns per cluster-pop vector body "
-          f"({med/iters/(tc*128*G)*1e12:.2f} ps/pair)")
+                      f"cluster dense body x{iters} (G={G}, "
+                      f"tc={tc}{mode}{label})", 16 * pairs)
+    _p(f"    -> {med/iters*1e9:.0f} ns per cluster-pop vector body "
+       f"({med/iters/(tc*128*G)*1e12:.2f} ps/pair)")
     return rate, med / iters
 
 
@@ -383,15 +409,75 @@ def run_phase_floors(reps, interpret, G=16, iters=8192):
     nrate, nmed = timed(lambda: _sync(go_n(rows, o, d, inv)), reps,
                         f"node slab body x{iters} (G={G})",
                         184 * G * 128 * iters)
-    print(f"    -> {nmed/iters*1e9:.0f} ns per node-pop vector body")
+    _p(f"    -> {nmed/iters*1e9:.0f} ns per node-pop vector body")
 
     go_l = call(functools.partial(leaf_mt_kernel, iters=iters, G=G,
                                   leaf_size=10), None)
     lrate, lmed = timed(lambda: _sync(go_l(rows, o, d, inv)), reps,
                         f"leaf MT body x{iters} (G={G}, 10 tris)",
                         10 * 52 * G * 128 * iters)
-    print(f"    -> {lmed/iters*1e9:.0f} ns per leaf-pop vector body")
+    _p(f"    -> {lmed/iters*1e9:.0f} ns per leaf-pop vector body")
     return (nrate, nmed / iters), (lrate, lmed / iters)
+
+
+def run_compact(reps=3, to_stderr=True, quick=False):
+    """Compact probe set for bench.py: bank the MFU account in the bench
+    JSON so the end-of-round hardware run measures it even when no healthy
+    interactive tunnel window existed during the build (VERDICT r3 #2).
+
+    Returns a flat dict of measured rates. Caller must already be on the
+    target backend; probe prints go to stderr so the bench's one-JSON-line
+    stdout contract holds."""
+    if to_stderr:
+        _OUT[0] = sys.stderr
+    interpret = jax.default_backend() != "tpu"
+    res = {}
+    x = jnp.ones((8,), jnp.float32)
+    _sync(x)
+    rtts = []
+    for _ in range(10):
+        t0 = time.time()
+        _sync(x)
+        rtts.append(time.time() - t0)
+    rtts.sort()
+    _FLOOR_S[0] = rtts[len(rtts) // 2]
+    res["rtt_ms"] = round(_FLOOR_S[0] * 1e3, 2)
+    hp = jax.lax.Precision.HIGHEST
+    # quick: CPU-smoke sizing (rates meaningless, wiring checked).
+    q = 6 if quick else 0
+    res["vpu_ilp8_teops_s"] = round(
+        run_vpu(reps, interpret, iters=1 << (15 - q), ilp=8) / 1e12, 3)
+    res["mxu_128_f32_tflops_s"] = round(
+        run_mxu(reps, interpret, 128, 128, 128, jnp.float32,
+                iters=1 << (17 - q)) / 1e12, 2)
+    res["mxu_128_bf16_tflops_s"] = round(
+        run_mxu(reps, interpret, 128, 128, 128, jnp.bfloat16,
+                iters=1 << (17 - q)) / 1e12, 2)
+    res["mxu_512_bf16_tflops_s"] = round(
+        run_mxu(reps, interpret, 512, 512, 512, jnp.bfloat16,
+                iters=1 << (13 - q)) / 1e12, 2)
+    res["mxu_cluster_shape_tflops_s"] = round(
+        run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
+                iters=1 << (15 - q),
+                label="(cluster per-g, HIGHEST)", precision=hp) / 1e12, 3)
+    if not interpret:
+        res["hbm_gb_s"] = round(run_hbm(reps) / 1e9, 1)
+    (nrate, nns), (lrate, lns) = run_phase_floors(reps, interpret, G=16,
+                                                  iters=1 << (15 - q))
+    res["node_pop_body_ns"] = round(nns * 1e9, 1)
+    res["node_body_vpu_teops_s"] = round(nrate / 1e12, 3)
+    res["leaf_pop_body_ns"] = round(lns * 1e9, 1)
+    res["leaf_body_vpu_teops_s"] = round(lrate / 1e12, 3)
+    for tc in (128, 256):
+        _, s = run_cluster_floor(reps, interpret, G=16, tc=tc,
+                                 iters=1 << max(13 - q, 3), precision=hp,
+                                 label=", HIGHEST")
+        res[f"cluster_body_ns_tc{tc}"] = round(s * 1e9, 0)
+    _, s = run_cluster_floor(reps, interpret, G=16, tc=128,
+                             iters=1 << max(13 - q, 3), precision=hp,
+                             any_hit=True, label=", HIGHEST")
+    res["cluster_anyhit_body_ns_tc128"] = round(s * 1e9, 0)
+    return res
 
 
 def main():
@@ -476,6 +562,12 @@ def main():
                           iters=16 if (args.cpu or args.quick) else 1 << 14,
                           precision=_lax2.Precision.HIGHEST,
                           label=", HIGHEST")
+    # Occlusion variant: the epilogue stops at the tmin reduce (no winner
+    # capture) — the body shadow walks pay per cluster pop.
+    run_cluster_floor(reps, interpret, G=16, tc=128,
+                      iters=16 if (args.cpu or args.quick) else 1 << 14,
+                      precision=_lax2.Precision.HIGHEST, any_hit=True,
+                      label=", HIGHEST")
 
     print("\nInterpretation: compare the phase floors against the measured "
           "460 ns/pop (PERF.md) — the delta is the latency/sync/scalar "
