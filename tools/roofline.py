@@ -81,6 +81,34 @@ def timed(fn, reps, label, work, unit="Top/s"):
     return rate, net
 
 
+def timed_autoscale(build, base_iters, reps, label, work_per_iter,
+                    unit="Top/s", max_iters=1 << 24):
+    """Like timed(), but sizes the in-kernel iteration count so one call's
+    wall time clears 8x the dispatch+readback floor (>= 0.2 s) before the
+    reps are taken. Through a DEGRADED tunnel the floor is ~30 ms with
+    +/-30% spread of its own, so any probe reading < a few x floor is
+    noise — the r4 session-10 [512^3 bf16] row read an impossible 653
+    TFLOP/s that way. build(iters) returns a zero-arg synced callable.
+
+    Returns (rate, net_seconds, iters)."""
+    iters = max(int(base_iters), 1)
+    for _ in range(6):
+        fn = build(iters)
+        fn()  # compile + warm
+        t0 = time.time()
+        fn()
+        wall = time.time() - t0
+        target = max(8 * _FLOOR_S[0], 0.2)
+        if wall >= target or iters >= max_iters:
+            break
+        compute = max(wall - _FLOOR_S[0], wall / 4, 1e-4)
+        scale = (target - _FLOOR_S[0]) / compute
+        scale = min(max(int(scale) + 1, 2), 256)
+        iters = min(iters * scale, max_iters)
+    rate, net = timed(fn, reps, label, work_per_iter * iters, unit=unit)
+    return rate, net, iters
+
+
 # ---------------------------------------------------------------------------
 # 1. VPU elementwise peak
 # ---------------------------------------------------------------------------
@@ -111,19 +139,21 @@ def vpu_kernel(x_ref, o_ref, *, iters, ilp):
 def run_vpu(reps, interpret, iters=4096, ilp=8, shape=(64, 128)):
     x = jnp.ones(shape, jnp.float32) * 0.5
 
-    @jax.jit
-    def go(x):
-        return pl.pallas_call(
-            functools.partial(vpu_kernel, iters=iters, ilp=ilp),
-            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(x)
+    def build(it):
+        @jax.jit
+        def go(x):
+            return pl.pallas_call(
+                functools.partial(vpu_kernel, iters=it, ilp=ilp),
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x)
+        return lambda: _sync(go(x))
 
-    ops = shape[0] * shape[1] * iters * ilp * 4  # 4 el-ops/chain/step
-    rate, _ = timed(lambda: _sync(go(x)), reps,
-                    f"VPU fused chain ilp={ilp} {shape}", ops)
+    ops = shape[0] * shape[1] * ilp * 4  # 4 el-ops/chain/step, per iter
+    rate, _, _ = timed_autoscale(build, iters, reps,
+                                 f"VPU fused chain ilp={ilp} {shape}", ops)
     return rate
 
 
@@ -151,21 +181,25 @@ def run_mxu(reps, interpret, M, K, N, dtype, iters=512, label="",
     a = jnp.ones((M, K), dtype) * 0.01
     b = jnp.ones((K, N), dtype) * 0.01
 
-    @jax.jit
-    def go(a, b):
-        return pl.pallas_call(
-            functools.partial(mxu_kernel, iters=iters,
-                              out_dtype=jnp.float32, precision=precision),
-            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(a, b)
+    def build(it):
+        @jax.jit
+        def go(a, b):
+            return pl.pallas_call(
+                functools.partial(mxu_kernel, iters=it,
+                                  out_dtype=jnp.float32,
+                                  precision=precision),
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(a, b)
+        return lambda: _sync(go(a, b))
 
-    flops = 2 * M * K * N * iters
-    rate, _ = timed(lambda: _sync(go(a, b)), reps,
-                    f"MXU dot [{M},{K}]x[{K},{N}] {dtype.__name__} {label}",
-                    flops, unit="TFLOP/s")
+    flops = 2 * M * K * N
+    rate, _, _ = timed_autoscale(
+        build, iters, reps,
+        f"MXU dot [{M},{K}]x[{K},{N}] {dtype.__name__} {label}",
+        flops, unit="TFLOP/s")
     return rate
 
 
@@ -177,25 +211,25 @@ def run_hbm(reps, n_bytes=512 * 1024 * 1024, passes=8):
     n = n_bytes // 4
     x = jnp.ones((n,), jnp.float32)
 
-    @jax.jit
-    def go(x):
-        # `passes` chained elementwise sweeps: enough HBM traffic to
-        # stand clear of the dispatch floor even on a degraded tunnel.
-        for _ in range(passes):
-            x = x * 1.0001 + 0.5
-        return x
+    def build(p):
+        @jax.jit
+        def go(x):
+            # chained elementwise sweeps with an optimization_barrier
+            # between them: without the barrier XLA fuses the whole chain
+            # into ONE pass over HBM and the probe reads an impossible
+            # 3 TB/s of "bandwidth" (measured r4 s10 — it was actually
+            # the fused VPU compute rate). The barrier forces each sweep
+            # to materialize, so every pass is a real read+write.
+            for _ in range(p):
+                x = jax.lax.optimization_barrier(x * 1.0001 + 0.5)
+            return x
+        return lambda: _sync(go(x)[:8])
 
-    y = go(x)
-    _sync(y[:8])
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        _sync(go(x)[:8])
-        ts.append(time.time() - t0)
-    med = max(statistics.median(ts) - _FLOOR_S[0], 1e-9)
-    bw = 2 * n_bytes * passes / med  # read + write per pass
-    _p(f"{f'HBM elementwise x{passes} (512 MB, read+write)':52s} "
-       f"{med*1e3:9.3f} ms  {bw/1e9:8.1f} GB/s", flush=True)
+    bw, net, p = timed_autoscale(
+        build, passes, reps,
+        "HBM elementwise sweeps (512 MB, read+write)",
+        2 * n_bytes, unit="TB/s")
+    _p(f"    -> x{p} passes, {bw/1e9:.1f} GB/s", flush=True)
     return bw
 
 
@@ -361,26 +395,30 @@ def run_cluster_floor(reps, interpret, G=16, tc=128, iters=2048,
     d = jnp.ones((3, G, 128), jnp.float32) * 0.577
     inv = 1.0 / d
 
-    @jax.jit
-    def go(blk, o, d, inv):
-        return pl.pallas_call(
-            functools.partial(cluster_dense_kernel, iters=iters, G=G,
-                              tc=tc, precision=precision, any_hit=any_hit),
-            out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(blk, o, d, inv)
+    def go_with(it):
+        @jax.jit
+        def go(blk, o, d, inv):
+            return pl.pallas_call(
+                functools.partial(cluster_dense_kernel, iters=it, G=G,
+                                  tc=tc, precision=precision,
+                                  any_hit=any_hit),
+                out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(blk, o, d, inv)
+        return go
 
     # Per (ray, tri) pair: ~16 VPU el-ops (epilogue) + 14 MXU flops.
-    pairs = tc * 128 * G * iters
     mode = ", any-hit" if any_hit else ""
-    rate, med = timed(lambda: _sync(go(blk, o, d, inv)), reps,
-                      f"cluster dense body x{iters} (G={G}, "
-                      f"tc={tc}{mode}{label})", 16 * pairs)
-    _p(f"    -> {med/iters*1e9:.0f} ns per cluster-pop vector body "
-       f"({med/iters/(tc*128*G)*1e12:.2f} ps/pair)")
-    return rate, med / iters
+    rate, med, it = timed_autoscale(
+        lambda itn: (lambda: _sync(go_with(itn)(blk, o, d, inv))),
+        iters, reps,
+        f"cluster dense body (G={G}, tc={tc}{mode}{label})",
+        16 * tc * 128 * G)
+    _p(f"    -> x{it} pops, {med/it*1e9:.0f} ns per cluster-pop vector "
+       f"body ({med/it/(tc*128*G)*1e12:.2f} ps/pair)")
+    return rate, med / it
 
 
 def run_phase_floors(reps, interpret, G=16, iters=8192):
@@ -390,34 +428,34 @@ def run_phase_floors(reps, interpret, G=16, iters=8192):
     d = jnp.ones((3, G, 128), jnp.float32) * 0.577
     inv = 1.0 / d
 
-    def call(kernel, extra):
+    def call(kernel_fn, it):
         @jax.jit
         def go(rows, o, d, inv):
             return pl.pallas_call(
-                kernel,
+                functools.partial(kernel_fn, iters=it, G=G),
                 out_shape=jax.ShapeDtypeStruct((G, 128), jnp.float32),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 interpret=interpret,
             )(rows, o, d, inv)
-        return go
+        return lambda: _sync(go(rows, o, d, inv))
 
     # Node slab: per pop, 8 children x (6 muls + 6 subs ... ) — count from
     # the body: per child per axis 4 (2 fma-ish + min + max) x3 axes + 2
     # running min/max x3... conservative: 8 x (3*6 + 5) = 184 el-ops/lane.
-    go_n = call(functools.partial(node_slab_kernel, iters=iters, G=G), None)
-    nrate, nmed = timed(lambda: _sync(go_n(rows, o, d, inv)), reps,
-                        f"node slab body x{iters} (G={G})",
-                        184 * G * 128 * iters)
-    _p(f"    -> {nmed/iters*1e9:.0f} ns per node-pop vector body")
+    nrate, nmed, nit = timed_autoscale(
+        lambda it: call(node_slab_kernel, it), iters, reps,
+        f"node slab body (G={G})", 184 * G * 128)
+    _p(f"    -> x{nit} pops, {nmed/nit*1e9:.0f} ns per node-pop vector "
+       f"body")
 
-    go_l = call(functools.partial(leaf_mt_kernel, iters=iters, G=G,
-                                  leaf_size=10), None)
-    lrate, lmed = timed(lambda: _sync(go_l(rows, o, d, inv)), reps,
-                        f"leaf MT body x{iters} (G={G}, 10 tris)",
-                        10 * 52 * G * 128 * iters)
-    _p(f"    -> {lmed/iters*1e9:.0f} ns per leaf-pop vector body")
-    return (nrate, nmed / iters), (lrate, lmed / iters)
+    nrate_, nmed_, lit = timed_autoscale(
+        lambda it: call(functools.partial(leaf_mt_kernel, leaf_size=10),
+                        it), iters, reps,
+        f"leaf MT body (G={G}, 10 tris)", 10 * 52 * G * 128)
+    _p(f"    -> x{lit} pops, {nmed_/lit*1e9:.0f} ns per leaf-pop vector "
+       f"body")
+    return (nrate, nmed / nit), (nrate_, nmed_ / lit)
 
 
 def run_compact(reps=3, to_stderr=True, quick=False):
@@ -445,39 +483,73 @@ def run_compact(reps=3, to_stderr=True, quick=False):
     hp = jax.lax.Precision.HIGHEST
     # quick: CPU-smoke sizing (rates meaningless, wiring checked).
     q = 6 if quick else 0
-    res["vpu_ilp8_teops_s"] = round(
-        run_vpu(reps, interpret, iters=1 << (15 - q), ilp=8) / 1e12, 3)
-    res["mxu_128_f32_tflops_s"] = round(
-        run_mxu(reps, interpret, 128, 128, 128, jnp.float32,
-                iters=1 << (17 - q)) / 1e12, 2)
-    res["mxu_128_bf16_tflops_s"] = round(
-        run_mxu(reps, interpret, 128, 128, 128, jnp.bfloat16,
-                iters=1 << (17 - q)) / 1e12, 2)
-    res["mxu_512_bf16_tflops_s"] = round(
-        run_mxu(reps, interpret, 512, 512, 512, jnp.bfloat16,
-                iters=1 << (13 - q)) / 1e12, 2)
-    res["mxu_cluster_shape_tflops_s"] = round(
-        run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
-                iters=1 << (15 - q),
-                label="(cluster per-g, HIGHEST)", precision=hp) / 1e12, 3)
+
+    def row(key, scale, digits, fn, *a, **kw):
+        # one failing probe must not lose the whole MFU account
+        try:
+            res[key] = round(fn(*a, **kw) / scale, digits)
+        except Exception as e:
+            res[key] = None
+            _p(f"PROBE FAILED {key}: {type(e).__name__}: "
+               f"{str(e)[:200]}", flush=True)
+
+    row("vpu_ilp8_teops_s", 1e12, 3,
+        run_vpu, reps, interpret, iters=1 << (15 - q), ilp=8)
+    row("mxu_128_f32_tflops_s", 1e12, 2,
+        run_mxu, reps, interpret, 128, 128, 128, jnp.float32,
+        iters=1 << (17 - q))
+    row("mxu_128_bf16_tflops_s", 1e12, 2,
+        run_mxu, reps, interpret, 128, 128, 128, jnp.bfloat16,
+        iters=1 << (17 - q))
+    row("mxu_512_bf16_tflops_s", 1e12, 2,
+        run_mxu, reps, interpret, 512, 512, 512, jnp.bfloat16,
+        iters=1 << (13 - q))
+    row("mxu_cluster_shape_tflops_s", 1e12, 3,
+        run_mxu, reps, interpret, 384, 3, 128, jnp.float32,
+        iters=1 << (15 - q),
+        label="(cluster per-g, HIGHEST)", precision=hp)
     if not interpret:
-        res["hbm_gb_s"] = round(run_hbm(reps) / 1e9, 1)
-    (nrate, nns), (lrate, lns) = run_phase_floors(reps, interpret, G=16,
-                                                  iters=1 << (15 - q))
-    res["node_pop_body_ns"] = round(nns * 1e9, 1)
-    res["node_body_vpu_teops_s"] = round(nrate / 1e12, 3)
-    res["leaf_pop_body_ns"] = round(lns * 1e9, 1)
-    res["leaf_body_vpu_teops_s"] = round(lrate / 1e12, 3)
+        row("hbm_gb_s", 1e9, 1, run_hbm, reps)
+    try:
+        (nrate, nns), (lrate, lns) = run_phase_floors(
+            reps, interpret, G=16, iters=1 << (15 - q))
+        res["node_pop_body_ns"] = round(nns * 1e9, 1)
+        res["node_body_vpu_teops_s"] = round(nrate / 1e12, 3)
+        res["leaf_pop_body_ns"] = round(lns * 1e9, 1)
+        res["leaf_body_vpu_teops_s"] = round(lrate / 1e12, 3)
+    except Exception as e:
+        _p(f"PROBE FAILED phase_floors: {type(e).__name__}: "
+           f"{str(e)[:200]}", flush=True)
     for tc in (128, 256):
-        _, s = run_cluster_floor(reps, interpret, G=16, tc=tc,
+        try:
+            _, s = run_cluster_floor(reps, interpret, G=16, tc=tc,
+                                     iters=1 << max(13 - q, 3),
+                                     precision=hp, label=", HIGHEST")
+            res[f"cluster_body_ns_tc{tc}"] = round(s * 1e9, 0)
+        except Exception as e:
+            _p(f"PROBE FAILED cluster_body_tc{tc}: {type(e).__name__}: "
+               f"{str(e)[:200]}", flush=True)
+    try:
+        _, s = run_cluster_floor(reps, interpret, G=16, tc=128,
                                  iters=1 << max(13 - q, 3), precision=hp,
-                                 label=", HIGHEST")
-        res[f"cluster_body_ns_tc{tc}"] = round(s * 1e9, 0)
-    _, s = run_cluster_floor(reps, interpret, G=16, tc=128,
-                             iters=1 << max(13 - q, 3), precision=hp,
-                             any_hit=True, label=", HIGHEST")
-    res["cluster_anyhit_body_ns_tc128"] = round(s * 1e9, 0)
+                                 any_hit=True, label=", HIGHEST")
+        res["cluster_anyhit_body_ns_tc128"] = round(s * 1e9, 0)
+    except Exception as e:
+        _p(f"PROBE FAILED cluster_anyhit: {type(e).__name__}: "
+           f"{str(e)[:200]}", flush=True)
     return res
+
+
+def _safe(fn, *args, **kw):
+    """One failing probe (e.g. a Mosaic scoped-VMEM OOM on one shape) must
+    not kill the rest of the suite — r4 s10 lost sections 3-4 that way."""
+    try:
+        return fn(*args, **kw)
+    except Exception as e:
+        name = getattr(fn, "__name__", str(fn))
+        _p(f"PROBE FAILED {name}{args[2:] if len(args) > 2 else ''}: "
+           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+        return None
 
 
 def main():
@@ -518,53 +590,55 @@ def main():
     mit = 64 if (args.cpu or args.quick) else 1 << 17
 
     print("\n== 1. VPU elementwise peak ==")
-    run_vpu(reps, interpret, iters=it, ilp=8)
-    run_vpu(reps, interpret, iters=it, ilp=1)
-    run_vpu(reps, interpret, iters=it, ilp=8, shape=(16, 128))
+    _safe(run_vpu, reps, interpret, iters=it, ilp=8)
+    _safe(run_vpu, reps, interpret, iters=it, ilp=1)
+    _safe(run_vpu, reps, interpret, iters=it, ilp=8, shape=(16, 128))
 
     print("\n== 2. MXU matmul ==")
-    run_mxu(reps, interpret, 128, 128, 128, jnp.float32, iters=mit)
-    run_mxu(reps, interpret, 128, 128, 128, jnp.bfloat16, iters=mit)
-    run_mxu(reps, interpret, 512, 512, 512, jnp.bfloat16,
+    _safe(run_mxu, reps, interpret, 128, 128, 128, jnp.float32, iters=mit)
+    _safe(run_mxu, reps, interpret, 128, 128, 128, jnp.bfloat16, iters=mit)
+    _safe(run_mxu, reps, interpret, 512, 512, 512, jnp.bfloat16,
             iters=max(mit // 32, 8))
-    run_mxu(reps, interpret, 2048, 3, 384, jnp.float32,
+    _safe(run_mxu, reps, interpret, 2048, 3, 384, jnp.float32,
             iters=max(mit // 4, 8), label="(ray K=3 shape)")
-    run_mxu(reps, interpret, 2048, 128, 32, jnp.float32,
+    _safe(run_mxu, reps, interpret, 2048, 128, 32, jnp.float32,
             iters=max(mit // 4, 8), label="(one-hot gather shape)")
     # The precision tiers the ray math can actually use: default f32
     # lowers to SINGLE-PASS bf16 on the MXU (t drifted ~1e-2, measured
     # r4 s2); HIGH = bf16x3 (~f32-ish), HIGHEST = bf16x6.
     import jax.lax as _lax
-    run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
+    _safe(run_mxu, reps, interpret, 384, 3, 128, jnp.float32,
             iters=max(mit // 4, 8), label="(cluster per-g shape, default)")
-    run_mxu(reps, interpret, 384, 3, 128, jnp.float32,
+    _safe(run_mxu, reps, interpret, 384, 3, 128, jnp.float32,
             iters=max(mit // 4, 8), label="(cluster per-g, HIGHEST)",
             precision=_lax.Precision.HIGHEST)
-    run_mxu(reps, interpret, 384, 3, 2048, jnp.float32,
+    _safe(run_mxu, reps, interpret, 384, 3, 2048, jnp.float32,
             iters=max(mit // 4, 8), label="(cluster whole-packet, HIGHEST)",
             precision=_lax.Precision.HIGHEST)
-    run_mxu(reps, interpret, 768, 7, 2048, jnp.float32,
+    # N=1024: the [768,2048] f32 accumulator + out at N=2048 was 17.8 MB
+    # of scoped VMEM stack vs the 16 MB limit (measured OOM, r4 s10).
+    _safe(run_mxu, reps, interpret, 768, 7, 1024, jnp.float32,
             iters=max(mit // 4, 8), label="(cluster merged K=7, HIGHEST)",
             precision=_lax.Precision.HIGHEST)
 
     if not args.cpu:
         print("\n== 3. HBM bandwidth ==")
-        run_hbm(reps)
+        _safe(run_hbm, reps)
 
     print("\n== 4. Traversal-phase compute floors ==")
-    run_phase_floors(reps, interpret, G=16,
+    _safe(run_phase_floors, reps, interpret, G=16,
                      iters=256 if (args.cpu or args.quick) else 1 << 17)
     import jax.lax as _lax2
     for tc in (128, 256):
-        run_cluster_floor(reps, interpret, G=16, tc=tc,
+        _safe(run_cluster_floor, reps, interpret, G=16, tc=tc,
                           iters=16 if (args.cpu or args.quick) else 1 << 14)
-        run_cluster_floor(reps, interpret, G=16, tc=tc,
+        _safe(run_cluster_floor, reps, interpret, G=16, tc=tc,
                           iters=16 if (args.cpu or args.quick) else 1 << 14,
                           precision=_lax2.Precision.HIGHEST,
                           label=", HIGHEST")
     # Occlusion variant: the epilogue stops at the tmin reduce (no winner
     # capture) — the body shadow walks pay per cluster pop.
-    run_cluster_floor(reps, interpret, G=16, tc=128,
+    _safe(run_cluster_floor, reps, interpret, G=16, tc=128,
                       iters=16 if (args.cpu or args.quick) else 1 << 14,
                       precision=_lax2.Precision.HIGHEST, any_hit=True,
                       label=", HIGHEST")
