@@ -92,19 +92,32 @@ def timed_autoscale(build, base_iters, reps, label, work_per_iter,
 
     Returns (rate, net_seconds, iters)."""
     iters = max(int(base_iters), 1)
+    target = max(8 * _FLOOR_S[0], 0.2)
+    fn = build(iters)
+    fn()  # compile + warm
+    wall = 0.0
     for _ in range(6):
-        fn = build(iters)
-        fn()  # compile + warm
-        t0 = time.time()
-        fn()
-        wall = time.time() - t0
-        target = max(8 * _FLOOR_S[0], 0.2)
+        # min of 2 samples: a single noisy-low degraded-tunnel sample just
+        # past the target would otherwise end scaling early (ADVICE r4).
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        wall = min(walls)
         if wall >= target or iters >= max_iters:
             break
         compute = max(wall - _FLOOR_S[0], wall / 4, 1e-4)
         scale = (target - _FLOOR_S[0]) / compute
         scale = min(max(int(scale) + 1, 2), 256)
         iters = min(iters * scale, max_iters)
+        # fn must always match iters when timed() runs (ADVICE r4: the old
+        # post-update left timed() counting NEW iters against an OLD fn).
+        fn = build(iters)
+        fn()  # compile + warm
+    if wall < target:
+        _p(f"  [autoscale: final wall {wall*1e3:.1f} ms < 8x-floor target "
+           f"{target*1e3:.0f} ms — treat {label!r} as noisy]", flush=True)
     rate, net = timed(fn, reps, label, work_per_iter * iters, unit=unit)
     return rate, net, iters
 
@@ -449,13 +462,13 @@ def run_phase_floors(reps, interpret, G=16, iters=8192):
     _p(f"    -> x{nit} pops, {nmed/nit*1e9:.0f} ns per node-pop vector "
        f"body")
 
-    nrate_, nmed_, lit = timed_autoscale(
+    lrate, lmed, lit = timed_autoscale(
         lambda it: call(functools.partial(leaf_mt_kernel, leaf_size=10),
                         it), iters, reps,
         f"leaf MT body (G={G}, 10 tris)", 10 * 52 * G * 128)
-    _p(f"    -> x{lit} pops, {nmed_/lit*1e9:.0f} ns per leaf-pop vector "
+    _p(f"    -> x{lit} pops, {lmed/lit*1e9:.0f} ns per leaf-pop vector "
        f"body")
-    return (nrate, nmed / nit), (nrate_, nmed_ / lit)
+    return (nrate, nmed / nit), (lrate, lmed / lit)
 
 
 def run_compact(reps=3, to_stderr=True, quick=False):
