@@ -66,6 +66,11 @@ def main() -> None:
     enable_compile_cache()
 
     quick = "--quick" in sys.argv
+    # --full re-enables the measured-loss probe rows (cluster/megacluster:
+    # the r4 MFU account eliminates them arithmetically — PERF.md session
+    # 10 — so default benches stop spending degraded-window minutes
+    # re-measuring them; the code paths stay in-tree behind flags).
+    full = "--full" in sys.argv
     extra = {}
     import gc
 
@@ -149,7 +154,10 @@ def main() -> None:
                 t0 = time.time()
                 for i in range(frames):
                     rr.render_frame(sync=(i == frames - 1))
-                dt = (time.time() - t0) / frames
+                # Per-SAMPLE seconds: a frame_batch>1 variant renders
+                # frame_batch samples per render_frame call.
+                dt = (time.time() - t0) / frames \
+                    / max(rr.cfg.frame_batch, 1)
                 out[key] = round(dt, 4)
                 if best is None or dt < out[best]:
                     best = key
@@ -179,21 +187,30 @@ def main() -> None:
         # winner and both numbers are recorded.
         table_pt = _proc_fps("proc:table", 800, 600, "wavefront", 64)
         extra["table_pt_fps_wavefront"] = round(table_pt, 2)
-        for vkey, vkw in (("mega", {"megakernel": "on"}),
-                          ("megacluster", {"megakernel": "on",
-                                           "cluster_tris": 128})):
+        table_variants = [("mega", 1, {"megakernel": "on"}),
+                          # r5: in-kernel path regeneration — spp
+                          # samples/dispatch, reported as accumulated
+                          # samples/s (the progressive-throughput number).
+                          ("megaregen8", 8, {"megakernel": "on"}),
+                          ("megaregen32", 32, {"megakernel": "on"})]
+        if full:
+            table_variants.append(("megacluster", 1,
+                                   {"megakernel": "on",
+                                    "cluster_tris": 128}))
+        for vkey, fb, vkw in table_variants:
             try:
                 fps_v = _proc_fps("proc:table", 800, 600, "wavefront",
-                                  64, **vkw)
+                                  64, frame_batch=fb, **vkw)
                 extra[f"table_pt_fps_{vkey}"] = round(fps_v, 2)
                 table_pt = max(table_pt, fps_v)
             except Exception as e:
                 print(f"# table {vkey} FAILED: {type(e).__name__}: {e}",
                       file=sys.stderr)
-        print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} fps "
-              f"(wavefront {extra['table_pt_fps_wavefront']}, mega "
-              f"{extra.get('table_pt_fps_mega')}, megacluster "
-              f"{extra.get('table_pt_fps_megacluster')}; reference: 45 fps "
+        print(f"# table path-traced 800x600 (config 2): {table_pt:.2f} "
+              f"spp/s (wavefront {extra['table_pt_fps_wavefront']}, mega "
+              f"{extra.get('table_pt_fps_mega')}, megaregen8 "
+              f"{extra.get('table_pt_fps_megaregen8')}, megaregen32 "
+              f"{extra.get('table_pt_fps_megaregen32')}; reference: 45 fps "
               f"progressive on a GTX 980)", file=sys.stderr)
         extra["table_pt_fps"] = round(table_pt, 2)
         bunny_fps = _proc_fps("proc:bunny", 512, 512, "direct", 0)
@@ -227,14 +244,19 @@ def main() -> None:
         "default": lambda: Renderer(_sponza_cfg(width, height)),
         "fpair": lambda: Renderer(_sponza_cfg(width, height,
                                               fused_pair=True)),
-        "mega": lambda: Renderer(_sponza_cfg(width, height,
-                                             megakernel="on")),
-        # Dense cluster leaves (round-4): subtree-sized MXU pops.
-        "cluster": lambda: Renderer(_sponza_cfg(width, height,
-                                                cluster_tris=128)),
-        "cluster256": lambda: Renderer(_sponza_cfg(width, height,
-                                                   cluster_tris=256)),
     }
+    if full:
+        # Measured losses (PERF.md r4 session 10 MFU account + BENCH_r04
+        # probes: mega 3.37, cluster 5.56, cluster256 7.58 vs default
+        # 0.99 s/frame) — re-probed only on demand.
+        sponza_variants.update({
+            "mega": lambda: Renderer(_sponza_cfg(width, height,
+                                                 megakernel="on")),
+            "cluster": lambda: Renderer(_sponza_cfg(width, height,
+                                                    cluster_tris=128)),
+            "cluster256": lambda: Renderer(_sponza_cfg(width, height,
+                                                       cluster_tris=256)),
+        })
     best_sponza, probe_sponza = _probe_best("sponza", sponza_variants,
                                             frames=2)
     extra.setdefault("probes", {})["sponza"] = probe_sponza
@@ -307,25 +329,32 @@ def main() -> None:
 
         bath_variants = {
             "wavefront": lambda: Renderer(_bath_cfg(1280, 720)),
-            "fpair": lambda: Renderer(_bath_cfg(1280, 720,
-                                                fused_pair=True)),
             "mega": lambda: Renderer(_bath_cfg(1280, 720,
                                                megakernel="on")),
-            # Round-4 compositions: dense cluster leaves alone and inside
-            # the megakernel's on-core walks (both config-4 levers).
-            "cluster": lambda: Renderer(_bath_cfg(1280, 720,
-                                                  cluster_tris=128)),
-            "megacluster": lambda: Renderer(_bath_cfg(
-                1280, 720, megakernel="on", cluster_tris=128)),
-            "megacluster256": lambda: Renderer(_bath_cfg(
-                1280, 720, megakernel="on", cluster_tris=256)),
+            # Round-5: in-kernel path regeneration — the persistent-
+            # path-pool composition (spp samples per dispatch, packets
+            # stay full-live; tools/mega_profile.py counters).
+            "megaregen64": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", frame_batch=64)),
         }
+        if full:
+            bath_variants.update({
+                "fpair": lambda: Renderer(_bath_cfg(1280, 720,
+                                                    fused_pair=True)),
+                "cluster": lambda: Renderer(_bath_cfg(1280, 720,
+                                                      cluster_tris=128)),
+                "megacluster": lambda: Renderer(_bath_cfg(
+                    1280, 720, megakernel="on", cluster_tris=128)),
+                "megacluster256": lambda: Renderer(_bath_cfg(
+                    1280, 720, megakernel="on", cluster_tris=256)),
+            })
         best_bath, probe_bath = _probe_best("bathroom", bath_variants,
                                             frames=3)
         extra.setdefault("probes", {})["bathroom"] = probe_bath
         extra["probes"]["bathroom_winner"] = best_bath
         bath_kw = {"wavefront": {}, "fpair": {"fused_pair": True},
                    "mega": {"megakernel": "on"},
+                   "megaregen64": {"megakernel": "on", "frame_batch": 64},
                    "cluster": {"cluster_tris": 128},
                    "megacluster": {"megakernel": "on", "cluster_tris": 128},
                    "megacluster256": {"megakernel": "on",
@@ -335,9 +364,10 @@ def main() -> None:
         rb.render_frame(sync=True)  # compile outside the timed region
         rb.reset_samples()
         spp = 256
+        B = max(rb.cfg.frame_batch, 1)
         t0 = time.time()
-        for i in range(spp):
-            rb.render_frame(sync=(i == spp - 1))
+        for i in range(spp // B):
+            rb.render_frame(sync=(i == spp // B - 1))
         bath_s = time.time() - t0
         print(f"# bathroom {bw}x{bh} {spp}spp: {bath_s:.1f}s "
               f"(REDUCED fidelity: BASELINE.md's <60 s target is "
@@ -355,9 +385,11 @@ def main() -> None:
         rf.render_frame(sync=True)
         rf.reset_samples()
         spp = 1024
+        B = max(rf.cfg.frame_batch, 1)
+        sync_every = max(256 // B, 1)
         t0 = time.time()
-        for i in range(spp):
-            rf.render_frame(sync=(i % 256 == 255))
+        for i in range(spp // B):
+            rf.render_frame(sync=(i % sync_every == sync_every - 1))
         bath_full_s = time.time() - t0
         print(f"# bathroom {fw}x{fh} {spp}spp (reference fidelity): "
               f"{bath_full_s:.1f}s (reference: ~60 s on a GTX 980)",

@@ -186,24 +186,43 @@ def _vis_ggx(rough2, ndx):
 
 
 def _mega_kernel(seed_ref, params_ref, cdf_ref,
-                 o_ref, d_ref, act_ref,
+                 in0_ref, in1_ref, act_ref,
                  rows_ref, mats_ref, lights_ref, cl_ref,
                  contrib_out, rays_out,
                  stack, sp_ref, ctr,
                  st_o, st_d, st_tp, st_ct, st_lp,
                  st_pdf0, st_pdf1, st_alive,
                  cap_t, cap_prim, cap_e1, cap_e2, cap_ms,
+                 st_bounce, st_sample,
                  *, stack_depth: int, leaf_size: int, max_bounces: int,
                  nee: bool, model: str, n_mats: int, n_lights: int,
-                 arity: int = 8, cluster: bool = False, tc: int = 0):
+                 arity: int = 8, cluster: bool = False, tc: int = 0,
+                 with_stats: bool = False, tail_start: int = 8,
+                 spp: int = 1, regen: bool = False):
     """One packet; the full path-tracing estimator per lane.
 
     seed: SMEM (P,); params: SMEM (5,) [total_area, nee_pdf, env rgb];
-    cdf: SMEM (L,). o/d: [3, G, 128] VMEM blocks; act: [G, 128].
+    cdf: SMEM (L,). in0/in1: ray o/d as [3, G, 128] VMEM blocks (regen
+    False) or normalized pixel coords px/w, py/h as [G, 128] (regen
+    True); act: [G, 128].
     contrib_out: [3, G, 128]; rays_out: [1, 128] i32 (lane 0 = bounce
     rays, lane 1 = live shadow rays — the honest Mrays/s numerators).
     State scratch: st_* as in the wavefront Carry; cap_* hit capture
     (cap_ms packs [mat_id (int bits), nsign] as 2 G-rows: [2, G, 128]).
+
+    regen/spp: IN-KERNEL PATH REGENERATION — the TPU-native analogue of
+    the reference's persistent-threads atomic path pool
+    (Iterative.comp:214-307 + the pool dispatch, Renderer.cpp): when a
+    lane's path dies (miss or Russian roulette), the lane immediately
+    starts the NEXT sample of the SAME pixel — thin-lens raygen
+    (Camera.cpp:58-69 semantics) runs on-core from the camera scalars in
+    params[5:26]. Packets therefore stay ~full-live for all spp samples
+    where the plain loop decays to a dead-lane tail (measured: ALL
+    bathroom packets run the full 66 bounce iterations while RR thins
+    lanes — 922 pops/packet vs the ~362 full-live ideal,
+    tools/mega_profile.py). Each lane runs its own (sample, bounce)
+    state; RNG is keyed per (seed, sample, bounce, slot, lane), so
+    renders stay deterministic given (seed, packet layout).
 
     cluster: rows_ref is the cluster TOP tree and cl_ref holds the dense
     [Ncl*8, 3*tc] inverse-matrix blocks (bvh/cluster.py). Leaf pops run
@@ -214,7 +233,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
     holds the C vector and cap_ms[0] the signed material; cap_e2 and
     cap_ms[1] are unused.
     """
-    G = o_ref.shape[1]
+    G = in0_ref.shape[0] if regen else in0_ref.shape[1]
     pid = pl.program_id(0)
     seed = seed_ref[pid]
 
@@ -231,9 +250,14 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
               + jax.lax.broadcasted_iota(jnp.int32, (G, LANES), 1)
               ).astype(jnp.uint32)
 
-    def uni(i, slot: int):
+    def uni(sample, bounce, slot: int):
+        # Keyed per (seed, sample, bounce, slot, lane); the sample term
+        # is 0 on the non-regen path, so that stream matches the
+        # pre-regen kernel exactly. sample/bounce may be [G, LANES]
+        # vectors (regen: every lane at its own sample/bounce).
         s = (seed.astype(jnp.uint32)
-             + (i + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+             + (bounce + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+             + sample.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
              + jnp.uint32((slot * 0x85EBCA6B) & 0xFFFFFFFF))
         x = lane32 ^ s
         x = x ^ (x >> 16)
@@ -249,19 +273,37 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
 
     # --- state init --------------------------------------------------------
     for a in range(3):
-        st_o[a] = o_ref[a]
-        st_d[a] = d_ref[a]
-        st_lp[a] = o_ref[a]
+        if regen:
+            st_o[a] = jnp.zeros((G, LANES), jnp.float32)
+            st_d[a] = jnp.zeros((G, LANES), jnp.float32)
+            st_lp[a] = jnp.zeros((G, LANES), jnp.float32)
+        else:
+            st_o[a] = in0_ref[a]
+            st_d[a] = in1_ref[a]
+            st_lp[a] = in0_ref[a]
         st_tp[a] = jnp.ones((G, LANES), jnp.float32)
         st_ct[a] = jnp.zeros((G, LANES), jnp.float32)
     st_pdf0[...] = jnp.ones((G, LANES), jnp.float32)
     st_pdf1[...] = jnp.ones((G, LANES), jnp.float32)
-    st_alive[...] = act_ref[...].astype(jnp.int32)
+    st_bounce[...] = jnp.zeros((G, LANES), jnp.int32)
+    if regen:
+        # Every lane starts dead awaiting its first regeneration.
+        st_alive[...] = jnp.zeros((G, LANES), jnp.int32)
+        st_sample[...] = jnp.full((G, LANES), -1, jnp.int32)
+    else:
+        st_alive[...] = act_ref[...].astype(jnp.int32)
+        st_sample[...] = jnp.zeros((G, LANES), jnp.int32)
     ctr[0] = 0  # bounce rays traced
     ctr[1] = 0  # live shadow rays traced
+    if with_stats:
+        # [2] closest node pops, [3] closest leaf pops, [4] anyhit node,
+        # [5] anyhit leaf, [6] closest pops at bounce >= tail_start,
+        # [7] anyhit pops at bounce >= tail_start (the dead-tail share).
+        for k in range(2, 8):
+            ctr[k] = 0
 
     # --- in-kernel traversal walks ----------------------------------------
-    def walk_closest(o, d, on):
+    def walk_closest(o, d, on, bounce_i=None):
         """Ordered closest-hit stack walk; writes cap_* refs."""
         inv = [jnp.where(d[a] >= 0, 1.0, -1.0)
                / jnp.maximum(jnp.abs(d[a]), 1e-12) for a in range(3)]
@@ -297,6 +339,11 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
             rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
             sp_ref[0] = sp
+            if with_stats:
+                isl = jnp.where(is_leaf, 1, 0)
+                ctr[2] = ctr[2] + (1 - isl)
+                ctr[3] = ctr[3] + isl
+                ctr[6] = ctr[6] + jnp.where(bounce_i >= tail_start, 1, 0)
 
             @pl.when(jnp.logical_not(is_leaf))
             def _():
@@ -468,7 +515,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         sp0 = jnp.where(any_on, 1, 0)
         jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
-    def walk_anyhit(o, d, tmax, on):
+    def walk_anyhit(o, d, tmax, on, bounce_i=None):
         """Unordered any-hit walk (occlusion): returns nothing; uses
         cap_prim as the hit flag buffer (>= 0 means occluded)."""
         inv = [jnp.where(d[a] >= 0, 1.0, -1.0)
@@ -494,6 +541,11 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             rowG = pltpu.repeat(row, G, axis=0) if G > 1 else row
             rowGi = jax.lax.bitcast_convert_type(rowG, jnp.int32)
             sp_ref[0] = sp
+            if with_stats:
+                isl = jnp.where(is_leaf, 1, 0)
+                ctr[4] = ctr[4] + (1 - isl)
+                ctr[5] = ctr[5] + isl
+                ctr[7] = ctr[7] + jnp.where(bounce_i >= tail_start, 1, 0)
             rays_on = on & (cap_prim[...] < 0)
 
             @pl.when(jnp.logical_not(is_leaf))
@@ -681,12 +733,53 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
 
     # --- the bounce loop ----------------------------------------------------
     def bounce(i):
+        if regen:
+            # Lanes whose path ended start the next sample of their pixel:
+            # thin-lens raygen (Camera.cpp:58-69) from the camera scalars.
+            dead = st_alive[...] == 0
+            smp0 = st_sample[...]
+            want = dead & (smp0 < spp - 1) & act_ref[...]
+            smp = smp0 + jnp.where(want, 1, 0)
+            st_sample[...] = smp
+            zb = jnp.zeros((G, LANES), jnp.int32)
+            u_j0 = uni(smp, zb, 16)
+            u_j1 = uni(smp, zb, 17)
+            u_l0 = uni(smp, zb, 18)
+            u_l1 = uni(smp, zb, 19)
+            sx = in0_ref[...] + u_j0 * params_ref[24]
+            sy = in1_ref[...] + u_j1 * params_ref[25]
+            phi = 2.0 * PI * u_l0
+            rd = params_ref[23] * jnp.sqrt(u_l1)
+            rdx = rd * jnp.cos(phi)
+            rdy = rd * jnp.sin(phi)
+            off = [params_ref[17 + a] * rdx + params_ref[20 + a] * rdy
+                   for a in range(3)]
+            tgt = [params_ref[8 + a] + sx * params_ref[11 + a]
+                   + sy * params_ref[14 + a] - off[a] for a in range(3)]
+            nd = _normalize(tgt)
+            for a in range(3):
+                o_new = params_ref[5 + a] + off[a]
+                st_o[a] = jnp.where(want, o_new, st_o[a])
+                st_lp[a] = jnp.where(want, o_new, st_lp[a])
+                st_d[a] = jnp.where(want, nd[a], st_d[a])
+                st_tp[a] = jnp.where(want, 1.0, st_tp[a])
+            st_pdf0[...] = jnp.where(want, 1.0, st_pdf0[...])
+            st_pdf1[...] = jnp.where(want, 1.0, st_pdf1[...])
+            st_bounce[...] = jnp.where(want, 0, st_bounce[...])
+            st_alive[...] = jnp.where(want, 1, st_alive[...])
+
         o = [st_o[a] for a in range(3)]
         d = [st_d[a] for a in range(3)]
         alive = st_alive[...] > 0
+        b = st_bounce[...]
+        smp_v = st_sample[...]
         ctr[0] = ctr[0] + jnp.sum(jnp.where(alive, 1, 0))
+        if with_stats:
+            bstat = jnp.min(jnp.where(alive, b, jnp.int32(1 << 30)))
+        else:
+            bstat = i
 
-        walk_closest(o, d, alive)
+        walk_closest(o, d, alive, bounce_i=bstat)
         t = cap_t[...]
         prim = cap_prim[...]
         miss = prim < 0
@@ -724,7 +817,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         idt_scale = (p0n / (p0n + p1n + nee_pdf)
                      / jnp.maximum(old_mis, 1e-30))
         if nee:
-            use_rw = (~miss) & (i != 0)
+            use_rw = (~miss) & (b != 0)
         else:
             use_rw = jnp.zeros((G, LANES), bool)
         scale = jnp.where(use_rw, idt_scale, 1.0)
@@ -738,9 +831,9 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
 
         # --- NEE (wavefront.py:331-387 / Iterative.comp:113-147) ----------
         if nee:
-            u_sel = uni(i, 0)
-            u_t0 = uni(i, 1)
-            u_t1 = uni(i, 2)
+            u_sel = uni(smp_v, b, 0)
+            u_t0 = uni(smp_v, b, 1)
+            u_t1 = uni(smp_v, b, 2)
             selected = u_sel * total_area
             li = jnp.zeros((G, LANES), jnp.int32)
             for l in range(n_lights):
@@ -780,7 +873,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             shadow_live = alive & contrib_ok
             ctr[1] = ctr[1] + jnp.sum(jnp.where(shadow_live, 1, 0))
             so = [pos[a] + 0.001 * n[a] for a in range(3)]
-            walk_anyhit(so, ldir, shadow_tmax, shadow_live)
+            walk_anyhit(so, ldir, shadow_tmax, shadow_live, bounce_i=bstat)
             occluded = cap_prim[...] >= 0
             add = shadow_live & ~occluded
             for a in range(3):
@@ -795,10 +888,10 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             return
 
         # --- BSDF importance sample (Microfacet.glsl:172-193) -------------
-        u_c = uni(i, 3)
-        u_s0 = uni(i, 4)
-        u_s1 = uni(i, 5)
-        u_rr = uni(i, 6)
+        u_c = uni(smp_v, b, 3)
+        u_s0 = uni(smp_v, b, 4)
+        u_s1 = uni(smp_v, b, 5)
+        u_rr = uni(smp_v, b, 6)
         dpmf2, f0b = diffuse_pmf_of(alb, metal, ndo)
         pick_diffuse = u_c < dpmf2
         tgt, tgb = _tbn(n)
@@ -837,7 +930,7 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         continuation = jnp.clip(
             jnp.maximum(ntp[0], jnp.maximum(ntp[1], ntp[2])), 0.0, 1.0)
         inv_c = 1.0 / jnp.maximum(continuation, 1e-12)
-        kill = (u_rr > continuation) | (i > max_bounces)
+        kill = (u_rr > continuation) | (b > max_bounces)
         alive = alive & ~kill
         st_alive[...] = jnp.where(alive, 1, 0)
         for a in range(3):
@@ -847,32 +940,46 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             st_lp[a] = pos[a]
         st_pdf0[...] = npdf0
         st_pdf1[...] = npdf1
+        st_bounce[...] = b + 1
 
     def loop_body(i):
         bounce(i)
         return i + 1
 
-    def loop_cond(i):
-        any_alive = jnp.sum(st_alive[...]) > 0
-        return any_alive & (i <= max_bounces + 1)
+    if regen:
+        def loop_cond(i):
+            pending = (st_alive[...] > 0) | ((st_sample[...] < spp - 1)
+                                             & act_ref[...])
+            return (jnp.sum(jnp.where(pending, 1, 0)) > 0) \
+                & (i < spp * (max_bounces + 2))
+    else:
+        def loop_cond(i):
+            any_alive = jnp.sum(st_alive[...]) > 0
+            return any_alive & (i <= max_bounces + 1)
 
-    jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
+    i_final = jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
 
     for a in range(3):
         contrib_out[a] = st_ct[a]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    rays_out[...] = (jnp.where(lane == 0, ctr[0], 0)
-                     + jnp.where(lane == 1, ctr[1], 0))
+    vals = [ctr[0], ctr[1]]
+    if with_stats:
+        vals += [ctr[k] for k in range(2, 8)] + [i_final]
+    acc = jnp.zeros((1, LANES), jnp.int32)
+    for k, v in enumerate(vals):
+        acc = acc + jnp.where(lane == k, v, 0)
+    rays_out[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=(
     "stack_depth", "leaf_size", "max_bounces", "nee", "model", "n_mats",
-    "n_lights", "packet_size", "interpret"))
+    "n_lights", "packet_size", "interpret", "with_stats", "spp"))
 def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                *, stack_depth: int, leaf_size: int, max_bounces: int,
                nee: bool, model: str, n_mats: int, n_lights: int,
                packet_size: int = 2048, interpret: bool = False,
-               cluster_rows=None):
+               cluster_rows=None, with_stats: bool = False,
+               spp: int = 1, pxn=None, pyn=None):
     """Run the megakernel over [N] primary rays.
 
     Returns (contribution [N, 3], rays i32 scalar). N must divide
@@ -880,17 +987,27 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
     cluster_rows: optional dense cluster-leaf table — `rows` must then be
     the cluster top tree (bvh/cluster.py) and the in-kernel walks run the
     MXU dense leaf phase.
+
+    spp > 1 enables IN-KERNEL PATH REGENERATION: pass pxn/pyn
+    ([N] normalized pixel coords, pixel/width) instead of o/d (ignored),
+    and params extended with the camera scalars (see _mega_kernel);
+    the returned contribution is the SUM over spp samples per lane.
     """
-    N = o.shape[0]
+    N = active.shape[0]
     K = packet_size
     if N % K != 0:
         raise ValueError(f"N={N} must be a multiple of packet_size={K}")
     P = N // K
     G = K // LANES
-    oT = jnp.transpose(o, (1, 0)).reshape(3, P, G, LANES).transpose(
-        1, 0, 2, 3)
-    dT = jnp.transpose(d, (1, 0)).reshape(3, P, G, LANES).transpose(
-        1, 0, 2, 3)
+    regen = spp > 1
+    if regen:
+        in0 = pxn.reshape(P, G, LANES)
+        in1 = pyn.reshape(P, G, LANES)
+    else:
+        in0 = jnp.transpose(o, (1, 0)).reshape(3, P, G, LANES).transpose(
+            1, 0, 2, 3)
+        in1 = jnp.transpose(d, (1, 0)).reshape(3, P, G, LANES).transpose(
+            1, 0, 2, 3)
 
     cluster = cluster_rows is not None
     tc = cluster_rows.shape[1] // 3 if cluster else 0
@@ -900,12 +1017,14 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
     kernel = functools.partial(
         _mega_kernel, stack_depth=stack_depth, leaf_size=leaf_size,
         max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
-        n_lights=n_lights, cluster=cluster, tc=tc)
+        n_lights=n_lights, cluster=cluster, tc=tc, with_stats=with_stats,
+        spp=spp, regen=regen)
 
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((1, G, LANES), lambda p: (p, 0, 0),
                              memory_space=pltpu.VMEM)
+    in_spec01 = lane_spec if regen else ray_spec
 
     def entry(seed_r, params_r, cdf_r, o_r, d_r, act_r, rows_r, mats_r,
               lights_r, cl_r, ct_o, rays_o, *scratch):
@@ -921,7 +1040,7 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  ray_spec, ray_spec, lane_spec,
+                  in_spec01, in_spec01, lane_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -934,33 +1053,40 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                    jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
-                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.SMEM((8,), jnp.int32),
                         G3_scr(), G3_scr(), G3_scr(), G3_scr(), G3_scr(),
                         G_scr(), G_scr(),
                         pltpu.VMEM((G, LANES), jnp.int32),
                         G_scr(),
                         pltpu.VMEM((G, LANES), jnp.int32),
                         G3_scr(), G3_scr(),
-                        pltpu.VMEM((2, G, LANES), jnp.float32)],
+                        pltpu.VMEM((2, G, LANES), jnp.float32),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        pltpu.VMEM((G, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 rows.size * rows.dtype.itemsize
                 + cluster_rows.size * cluster_rows.dtype.itemsize
                 + (mats.size + lights.size) * 4
                 + (2 * 3 * tc * LANES * 4 * 4 if cluster else 0)
-                + 40 * G * LANES * 4 + 8 * 1024 * 1024,
+                + 44 * G * LANES * 4 + 8 * 1024 * 1024,
                 120 * 1024 * 1024)),
         interpret=interpret,
-    )(seeds.astype(jnp.int32), params, cdf, oT, dT,
+    )(seeds.astype(jnp.int32), params, cdf, in0, in1,
       active.reshape(P, G, LANES), rows, mats, lights, cluster_rows)
     ct, rays = outs
     contribution = ct.transpose(0, 2, 3, 1).reshape(N, 3)
+    if with_stats:
+        # [P, 9]: bounce rays, live shadow rays, closest node/leaf pops,
+        # anyhit node/leaf pops, closest/anyhit pops at bounce >= 8,
+        # bounce iterations run.
+        return contribution, jnp.sum(rays[:, 0, 0:2]), rays[:, 0, 0:9]
     return contribution, jnp.sum(rays[:, 0, 0:2])
 
 
 _MEGA_STATICS = ("width", "height", "stack_depth", "leaf_size",
                  "max_bounces", "nee", "model", "n_mats", "n_lights",
-                 "packet_size", "interpret")
+                 "packet_size", "interpret", "with_stats", "spp")
 
 
 @functools.partial(jax.jit, static_argnames=_MEGA_STATICS)
@@ -970,50 +1096,86 @@ def render_sample_mega(scene, mega_tables, cam, pixel_x, pixel_y, key,
                        nee: bool = True, model: str = "trowbridge_reitz",
                        n_mats: int = 1, n_lights: int = 1,
                        packet_size: int = 2048, interpret: bool = False,
-                       sample_idx=0):
+                       sample_idx=0, with_stats: bool = False,
+                       spp: int = 1):
     """Wavefront-compatible entry: raygen (identical jitter/lens threefry
     draws to models/wavefront.py) + the megakernel. Returns
-    ([N, 3] contributions, rays i32)."""
+    ([N, 3] contributions, rays i32).
+
+    spp > 1 runs ALL spp samples in ONE dispatch with in-kernel path
+    regeneration (raygen moves on-core; jitter/lens draws come from the
+    kernel's counter-based stream instead of threefry — statistically
+    identical, not bitwise). The contribution is the SUM over samples."""
     import jax.random as jrandom
 
     from gpupathtracer_tpu.math.camera import gen_rays
 
     n = pixel_x.shape[0]
-    key, k_jitter, k_lens = jrandom.split(key, 3)
-    jitter = jrandom.uniform(k_jitter, (n, 2))
-    interp = (jnp.stack([pixel_x, pixel_y], axis=-1) + jitter) \
-        / jnp.array([width, height], jnp.float32)
-    lens_u = jrandom.uniform(k_lens, (n, 2))
-    ray_o, ray_d = gen_rays(cam, interp, lens_u)
-
     K = min(packet_size, max(n, LANES))
     pad = (-n) % K
-    if pad:
-        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3))], axis=0)
-        ray_d = jnp.concatenate(
-            [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))],
-            axis=0)
     act = (jnp.arange(n + pad) < n)
     P = (n + pad) // K
-    seeds = jrandom.randint(jrandom.fold_in(key, sample_idx), (P,),
-                            0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-
     mats, lights, cdf, params = mega_tables
-    contribution, rays = trace_mega(
-        scene.bvh.node_rows, mats, lights, cdf, params, ray_o, ray_d, act,
-        seeds, stack_depth=stack_depth, leaf_size=leaf_size,
-        max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
-        n_lights=n_lights, packet_size=K, interpret=interpret,
-        cluster_rows=getattr(scene.bvh, "cluster_rows", None))
-    return contribution[:n], rays
+    kw = dict(stack_depth=stack_depth, leaf_size=leaf_size,
+              max_bounces=max_bounces, nee=nee, model=model,
+              n_mats=n_mats, n_lights=n_lights, packet_size=K,
+              interpret=interpret, with_stats=with_stats,
+              cluster_rows=getattr(scene.bvh, "cluster_rows", None))
+
+    if spp > 1:
+        key = jrandom.fold_in(key, sample_idx)
+        seeds = jrandom.randint(key, (P,), 0, jnp.iinfo(jnp.int32).max,
+                                dtype=jnp.int32)
+        pxn = pixel_x / jnp.float32(width)
+        pyn = pixel_y / jnp.float32(height)
+        if pad:
+            pxn = jnp.concatenate([pxn, jnp.zeros((pad,))], axis=0)
+            pyn = jnp.concatenate([pyn, jnp.zeros((pad,))], axis=0)
+        # params[5:26]: camera scalars + jitter scales for on-core raygen.
+        params_x = jnp.concatenate([
+            params, cam.position, cam.lower_left, cam.horizontal,
+            cam.vertical, cam.u, cam.v, cam.lens_radius[None],
+            jnp.asarray([1.0 / width, 1.0 / height], jnp.float32)])
+        res = trace_mega(scene.bvh.node_rows, mats, lights, cdf, params_x,
+                         None, None, act, seeds, spp=spp, pxn=pxn, pyn=pyn,
+                         **kw)
+    else:
+        key, k_jitter, k_lens = jrandom.split(key, 3)
+        jitter = jrandom.uniform(k_jitter, (n, 2))
+        interp = (jnp.stack([pixel_x, pixel_y], axis=-1) + jitter) \
+            / jnp.array([width, height], jnp.float32)
+        lens_u = jrandom.uniform(k_lens, (n, 2))
+        ray_o, ray_d = gen_rays(cam, interp, lens_u)
+        if pad:
+            ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3))], axis=0)
+            ray_d = jnp.concatenate(
+                [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))],
+                axis=0)
+        seeds = jrandom.randint(jrandom.fold_in(key, sample_idx), (P,),
+                                0, jnp.iinfo(jnp.int32).max,
+                                dtype=jnp.int32)
+        res = trace_mega(scene.bvh.node_rows, mats, lights, cdf, params,
+                         ray_o, ray_d, act, seeds, **kw)
+    if with_stats:
+        return res[0][:n], res[1], res[2]
+    return res[0][:n], res[1]
 
 
-@functools.partial(jax.jit, static_argnames=_MEGA_STATICS + ("spp",))
+@functools.partial(jax.jit,
+                   static_argnames=_MEGA_STATICS + ("fori",))
 def render_sample_mega_batch(scene, mega_tables, cam, pixel_x, pixel_y,
-                             key, spp: int = 1, sample_idx=0, **statics):
-    """spp megakernel samples in ONE dispatch (fori over samples) — the
-    frame_batch analogue of models/wavefront.render_sample_batch."""
+                             key, spp: int = 1, sample_idx=0,
+                             fori: bool = False, **statics):
+    """spp megakernel samples in ONE dispatch — the frame_batch analogue
+    of models/wavefront.render_sample_batch. Default: in-kernel path
+    regeneration (render_sample_mega spp=), the persistent-path-pool
+    composition; fori=True keeps the old one-kernel-per-sample loop for
+    A/B (the regen win is measured per PERF.md round 5)."""
     n = pixel_x.shape[0]
+    if not fori:
+        return render_sample_mega(scene, mega_tables, cam, pixel_x,
+                                  pixel_y, key, sample_idx=sample_idx,
+                                  spp=spp, **statics)
 
     def body(i, carry):
         acc, rays = carry

@@ -206,3 +206,71 @@ def test_mega_renderer_integration(cornell):
     r.reset_samples()
     r.render_frame("direct", sync=True)
     assert np.isfinite(r.film_hdr()).all()
+
+
+def test_mega_regen_matches_loop(cornell):
+    """In-kernel path regeneration (spp>1 in one dispatch) agrees
+    statistically with spp single-sample dispatches, handles padding,
+    and is deterministic. The regen raygen reimplements the thin-lens
+    model (Camera.cpp:58-69) on-core; jitter/lens draws move to the
+    kernel's counter-based stream, so agreement is statistical."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 200  # NOT a multiple of 128: regen must ignore padded lanes
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, max_bounces=6, nee=True,
+              n_mats=meta.num_materials,
+              n_lights=int(scene.light_rows.shape[0]),
+              packet_size=128, interpret=True)
+    SPP = 16
+    key = jax.random.PRNGKey(5)
+    c_r, rays_r = render_sample_mega(scene, tables, cam, px, py, key,
+                                     sample_idx=0, spp=SPP, **kw)
+    img_r = np.asarray(c_r) / SPP
+
+    def mega(k, s):
+        return render_sample_mega(scene, tables, cam, px, py, k,
+                                  sample_idx=s, **kw)
+
+    img_l = _render(mega, jax.random.PRNGKey(9), SPP)
+    assert np.isfinite(img_r).all() and (img_r >= 0).all()
+    # Matched-spp MC agreement on the image mean.
+    assert abs(img_r.mean() - img_l.mean()) / img_l.mean() < 0.08
+    # The regen dispatch traces ~SPP x the segments of one sample.
+    assert int(rays_r) > 0.5 * SPP * n
+    # Deterministic given (key, layout).
+    c_r2, _ = render_sample_mega(scene, tables, cam, px, py, key,
+                                 sample_idx=0, spp=SPP, **kw)
+    np.testing.assert_array_equal(np.asarray(c_r), np.asarray(c_r2))
+
+
+def test_mega_regen_direct(cornell):
+    """Regen composes with direct lighting (max_bounces=0): spp direct
+    samples in one dispatch."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 256
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, max_bounces=0, nee=True,
+              n_mats=meta.num_materials,
+              n_lights=int(scene.light_rows.shape[0]),
+              packet_size=256, interpret=True)
+    SPP = 8
+    c_r, rays = render_sample_mega(scene, tables, cam, px, py,
+                                   jax.random.PRNGKey(2), sample_idx=0,
+                                   spp=SPP, **kw)
+    img_r = np.asarray(c_r) / SPP
+
+    def mega(k, s):
+        return render_sample_mega(scene, tables, cam, px, py, k,
+                                  sample_idx=s, **kw)
+
+    img_l = _render(mega, jax.random.PRNGKey(4), SPP)
+    assert np.isfinite(img_r).all()
+    assert abs(img_r.mean() - img_l.mean()) / img_l.mean() < 0.1
+    # Exactly SPP primary segments per lane in direct mode.
+    assert int(rays) >= SPP * n

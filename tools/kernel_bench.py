@@ -91,8 +91,15 @@ def main() -> None:
     ap.add_argument("--fused-pair", action="store_true",
                     help="with --interleave 2: fuse both packets' pops "
                          "into one region per phase pair (_kernel_pair)")
-    ap.add_argument("--leaf", type=int, default=0,
-                    help="override builder leaf_size (0 = config default)")
+    ap.add_argument("--leaf", default="0",
+                    help="override builder leaf_size (0 = config default); "
+                         "comma-separated list sweeps scene builds")
+    ap.add_argument("--paired", action="store_true",
+                    help="interleave reps ACROSS variants round-robin and "
+                         "report per-rep ratios vs the first variant — "
+                         "tunnel drift hits every variant equally, so the "
+                         "ratio stays valid through a DEGRADED window "
+                         "(PERF.md r4 session-9 drift record)")
     ap.add_argument("--reinsert", type=int, default=0,
                     help="Bittner reinsertion optimizer rounds (builder)")
     ap.add_argument("--arity", type=int, default=8,
@@ -123,24 +130,31 @@ def main() -> None:
     ilv_list = [int(s) for s in str(args.interleave).split(",")]
     ord_list = [int(s) for s in str(args.ordered).split(",")]
 
-    cfg = RenderConfig(scene_path=args.scene, skybox="GENERATE COLOR BLACK",
-                       width=64, height=64, cache_enabled=True)
-    cfg.wide_arity = args.arity
-    if args.leaf:
-        cfg.leaf_size = args.leaf
-    cfg.reinsert_rounds = args.reinsert
-    cfg.cluster_tris = args.cluster_tc
-    scene, meta = load_scene(cfg)
+    leaf_list = [int(s) for s in str(args.leaf).split(",")]
+    scenes = {}
+    for lf in leaf_list:
+        cfg = RenderConfig(scene_path=args.scene,
+                           skybox="GENERATE COLOR BLACK",
+                           width=64, height=64, cache_enabled=True)
+        cfg.wide_arity = args.arity
+        if lf:
+            cfg.leaf_size = lf
+        cfg.reinsert_rounds = args.reinsert
+        cfg.cluster_tris = args.cluster_tc
+        scenes[lf] = load_scene(cfg)
+        scene, meta = scenes[lf]
+        rows = scene.bvh.node_rows
+        print(f"# {args.scene} leaf={meta.leaf_size}: rows={rows.shape} "
+              f"({rows.size * rows.dtype.itemsize / 1e6:.1f} MB) "
+              f"stack={meta.stack_depth} "
+              f"K={k_list} N={N} ordered={ord_list}", file=sys.stderr)
+        if args.cluster_tc:
+            cl = scene.bvh.cluster_rows
+            print(f"# clusters: {cl.shape[0] // 8} x Tc={args.cluster_tc} "
+                  f"({cl.size * cl.dtype.itemsize / 1e6:.1f} MB), "
+                  f"top tree {rows.shape[0]} rows", file=sys.stderr)
+    scene, meta = scenes[leaf_list[0]]
     rows = scene.bvh.node_rows
-    print(f"# {args.scene}: rows={rows.shape} "
-          f"({rows.size * rows.dtype.itemsize / 1e6:.1f} MB) "
-          f"stack={meta.stack_depth} leaf={meta.leaf_size} "
-          f"K={k_list} N={N} ordered={ord_list}", file=sys.stderr)
-    if args.cluster_tc:
-        cl = scene.bvh.cluster_rows
-        print(f"# clusters: {cl.shape[0] // 8} x Tc={args.cluster_tc} "
-              f"({cl.size * cl.dtype.itemsize / 1e6:.1f} MB), "
-              f"top tree {rows.shape[0]} rows", file=sys.stderr)
 
     # Coherent set: Morton-tiled primaries at a resolution covering N rays.
     w = 1 << math.ceil(math.log2(math.sqrt(N * 16 / 9)))
@@ -156,7 +170,8 @@ def main() -> None:
     lens_u = jnp.full((N, 2), 0.5, jnp.float32)
     o_coh, d_coh = gen_rays(cam, interp, lens_u)
 
-    def make_run(mode):
+    def make_run(mode, scene=scene, meta=meta):
+        rows = scene.bvh.node_rows
         if mode == "treelet":
             from gpupathtracer_tpu.ops.treelet import (
                 trace_closest_treelet, trace_occluded_treelet)
@@ -259,41 +274,95 @@ def main() -> None:
     d_inc = jnp.asarray(dirs)
 
     rays = {"coherent": (o_coh, d_coh), "incoherent": (o_inc, d_inc)}
-    out = {}
+    variants = []  # (tag, key, f, run, o, d, K, ilv, mode)
     for mode in mode_list:
-        run = make_run(mode)
+      for lf in leaf_list:
+        sc, mt = scenes[lf]
+        run = make_run(mode, sc, mt)
         for K in k_list:
           for od in ord_list:
             for ilv in ilv_list:
                 for name in args.sets.split(","):
                     o, d = rays[name]
-                    f = lambda o=o, d=d, K=K, ilv=ilv, od=od: \
+                    f = lambda o=o, d=d, K=K, ilv=ilv, od=od, run=run: \
                         run(o, d, K, ilv=ilv, ordered=od)[0]
-                    f()  # compile outside the timed region
-                    med, spread = _median_net(
-                        f, lambda K=K, ilv=ilv, od=od: run(
-                            o_coh, d_coh, K, ilv=ilv, ordered=od)[0],
-                        args.reps)
-                    mrays = N / med / 1e6
                     tag = (mode if len(mode_list) > 1 else "") \
+                        + (f" leaf={lf}" if len(leaf_list) > 1 else "") \
                         + f" K={K}" + (f" W={ilv}" if len(ilv_list) > 1
                                        else "") \
                         + (f" ord={od}" if len(ord_list) > 1 else "")
-                    line = (f"{tag.strip()} {name}: {mrays:.2f} Mrays/s "
-                            f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
-                    if args.stats and mode in ("packet", "subpacket"):
-                        st = np.asarray(run(o, d, K, with_stats=True,
-                                            ilv=ilv)[4])
-                        tot = st[:, :2].sum(0)
-                        line += (f" | pops/step node "
-                                 f"p50={np.median(st[:, 0]):.0f}"
-                                 f" leaf p50={np.median(st[:, 1]):.0f};"
-                                 f" ns/pop="
-                                 f"{med * 1e9 / max(tot.sum(), 1):.0f}")
-                        if st.shape[1] > 2 and st[:, 2].sum() > 0:
-                            line += f" | STACK OVERFLOWS={st[:, 2].sum()}"
-                    print(line, flush=True)
-                    out[f"{mode}:{name}@{K}w{ilv}o{od}"] = round(mrays, 2)
+                    key = f"{mode}:{name}@{K}l{lf}w{ilv}o{od}"
+                    variants.append((tag.strip(), key, f, run, o, d, K,
+                                     ilv, mode, name))
+
+    out = {}
+
+    def stats_suffix(run, o, d, K, ilv, med, mode):
+        if not (args.stats and mode in ("packet", "subpacket")):
+            return ""
+        st = np.asarray(run(o, d, K, with_stats=True, ilv=ilv)[4])
+        tot = st[:, :2].sum(0)
+        line = (f" | pops/step node p50={np.median(st[:, 0]):.0f}"
+                f" leaf p50={np.median(st[:, 1]):.0f};"
+                f" ns/pop={med * 1e9 / max(tot.sum(), 1):.0f}")
+        if st.shape[1] > 2 and st[:, 2].sum() > 0:
+            line += f" | STACK OVERFLOWS={st[:, 2].sum()}"
+        return line
+
+    if args.paired and len(variants) > 1:
+        # Degradation-valid protocol: compile everything first, then take
+        # reps ROUND-ROBIN across variants so tunnel drift is shared; the
+        # per-rep time RATIO vs variant 0 is the decision number.
+        inner = 4
+        for _, _, f, *_ in variants:
+            f()  # compile
+        probe = variants[0][2]()
+        float(probe.sum())
+        t0 = time.time()
+        for _ in range(3):
+            float(probe.sum())
+        readback = (time.time() - t0) / 3
+        times = {v[1]: [] for v in variants}
+        for rep in range(args.reps):
+            for tag, key, f, *_ in variants:
+                t0 = time.time()
+                for _ in range(inner):
+                    r = f()
+                float(r.sum())
+                times[key].append((time.time() - t0 - readback) / inner)
+        base_key = variants[0][1]
+        for i, (tag, key, f, run, o, d, K, ilv, mode, name) in \
+                enumerate(variants):
+            ts = times[key]
+            med = statistics.median(ts)
+            spread = (max(ts) - min(ts)) / med if med > 0 else 0.0
+            mrays = N / med / 1e6
+            ratios = [a / b for a, b in zip(ts, times[base_key])]
+            rmed = statistics.median(ratios)
+            rspread = ((max(ratios) - min(ratios)) / rmed
+                       if rmed > 0 else 0.0)
+            line = (f"{tag} {name}: {mrays:.2f} Mrays/s "
+                    f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
+            if i > 0:
+                line += (f" | paired ratio vs [0] {rmed:.3f}x "
+                         f"(spread {rspread:.1%})")
+                out[f"ratio:{key}"] = round(rmed, 4)
+            line += stats_suffix(run, o, d, K, ilv, med, mode)
+            print(line, flush=True)
+            out[key] = round(mrays, 2)
+    else:
+        for tag, key, f, run, o, d, K, ilv, mode, name in variants:
+            f()  # compile outside the timed region
+            med, spread = _median_net(
+                f, lambda K=K, ilv=ilv, run=run: run(
+                    o_coh, d_coh, K, ilv=ilv)[0],
+                args.reps)
+            mrays = N / med / 1e6
+            line = (f"{tag} {name}: {mrays:.2f} Mrays/s "
+                    f"(net {med * 1e3:.1f} ms, spread {spread:.1%})")
+            line += stats_suffix(run, o, d, K, ilv, med, mode)
+            print(line, flush=True)
+            out[key] = round(mrays, 2)
     print(f"# summary {out}", file=sys.stderr)
 
 

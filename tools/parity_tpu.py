@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--skybox", default=None,
                     help="default: WHITE for the env-lit bunny scene "
                          "(it has no emitter), BLACK otherwise")
+    ap.add_argument("--megakernel", action="store_true",
+                    help="run the test integrator on the megakernel "
+                         "(ops/megakernel.py) instead of the wavefront — "
+                         "the VERDICT r4 #3 graded-fidelity parity row")
+    ap.add_argument("--frame-batch", type=int, default=1,
+                    help="spp per dispatch for the test integrator "
+                         "(megakernel: in-kernel path regeneration)")
     args = ap.parse_args()
     if args.skybox is None:
         args.skybox = ("GENERATE COLOR WHITE"
@@ -60,10 +67,17 @@ def main() -> None:
         cfg.camera = CameraConfig(position=pos, yaw=yaw, pitch=pitch,
                                   fov=math.radians(fov), aspect=1.0)
 
+    if args.megakernel:
+        cfg.megakernel = "on"
+    cfg.frame_batch = args.frame_batch
     r = Renderer(cfg)
+    if args.megakernel and not r.use_mega:
+        raise SystemExit("scene/config is not mega_eligible")
     t0 = time.time()
-    for _ in range(args.spp_wave):
+    done = 0
+    while done < args.spp_wave:
         r.render_frame("wavefront")
+        done = r.num_samples
     img_w = r.film_hdr()
     t_wave = time.time() - t0
 
