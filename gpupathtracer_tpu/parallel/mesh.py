@@ -89,3 +89,49 @@ def render_sample_sharded(mesh: Mesh, scene, cam, pixel_x, pixel_y, key,
 
     return step(scene, cam, pixel_x, pixel_y, key,
                 jnp.asarray(sample_base, jnp.int32))
+
+
+def render_sample_mega_sharded(mesh: Mesh, scene, mega_tables, cam,
+                               pixel_x, pixel_y, key, spp_per_chip: int = 1,
+                               sample_base=0,
+                               **static) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Config-4 sample-axis composition: the MEGAKERNEL (with in-kernel
+    path regeneration, ops/megakernel.py) sharded over the "samples"
+    mesh axis — the designed single-chip escape for the bathroom
+    1024-spp benchmark (PERF.md round 5: 95 ms/sample measured -> ~12 s
+    modeled on a v5e-8).
+
+    Each chip renders the FULL pixel set with its own spp_per_chip
+    sample slice (keys folded by samples-axis index); the one collective
+    is the psum of contributions + ray counters over "samples", riding
+    ICI. Pixels stay replicated — the megakernel's packets want whole
+    wavefronts, and the radiance psum is the only cross-chip traffic.
+    Returns ([N, 3] radiance summed over samples-axis x spp_per_chip
+    samples, scalar rays)."""
+    from gpupathtracer_tpu.ops.megakernel import render_sample_mega
+
+    axis_names = mesh.axis_names
+    has_samples = "samples" in axis_names
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P(), P(), P()),
+             out_specs=(P(), P()),
+             check_vma=False)
+    def step(scene, tables, cam, px, py, key, sample_base):
+        sidx = sample_base
+        if has_samples:
+            ax = jax.lax.axis_index("samples")
+            key = jax.random.fold_in(key, ax)
+            sidx = sample_base + ax * spp_per_chip
+        contribution, rays = render_sample_mega(
+            scene, tables, cam, px, py, key, sample_idx=sidx,
+            spp=spp_per_chip, **static)
+        if has_samples:
+            contribution = jax.lax.psum(contribution, "samples")
+            rays = jax.lax.psum(rays, "samples")
+        if "pixels" in axis_names:
+            rays = jax.lax.pmax(rays, "pixels")
+        return contribution, rays
+
+    return step(scene, mega_tables, cam, pixel_x, pixel_y, key,
+                jnp.asarray(sample_base, jnp.int32))

@@ -221,7 +221,9 @@ def main() -> None:
                 act = jnp.ones((N,), bool)
                 kw = dict(stack_depth=meta.stack_depth,
                           leaf_size=meta.leaf_size, packet_size=K,
-                          interleave=ilv, kernel=inner, key_mode=kmode,
+                          interleave=ilv,
+                          fused_pair=args.fused_pair and ilv == 2,
+                          kernel=inner, key_mode=kmode,
                           interpret=False)
                 if args.any_hit:
                     occ = trace_occluded_tsort(scene, o, d, tmax, act, **kw)
