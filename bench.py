@@ -182,6 +182,17 @@ def main() -> None:
         print(f"# table direct 800x600 batched x8: {table_spp:.2f} spp/s",
               file=sys.stderr)
         extra["table_direct_batched_spp_s"] = round(table_spp, 2)
+        try:
+            # r5: direct mode through the regen megakernel (8 direct
+            # samples per dispatch, zero glue).
+            table_dm = _proc_fps("proc:table", 800, 600, "direct", 0,
+                                 frame_batch=8, megakernel="on")
+            print(f"# table direct megaregen x8: {table_dm:.2f} spp/s",
+                  file=sys.stderr)
+            extra["table_direct_megaregen8_spp_s"] = round(table_dm, 2)
+        except Exception as e:
+            print(f"# table direct megaregen FAILED: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
         # Config 2 (full path tracing): measured BOTH through the XLA
         # wavefront and the round-4 megakernel; the headline takes the
         # winner and both numbers are recorded.

@@ -86,6 +86,12 @@ class RenderConfig:
     shadow_sort: bool = True               # reuse the bounce tsort perm for shadow rays
     fused_pair: bool = False               # co-schedule 2 packets per Pallas grid step
     #                                        (_kernel_pair; measured A/B knob)
+    fused_pair_occl: bool = True           # fused-pair pops for UNGROUPED occlusion
+    #                                        queries on SMALL tables (< 8192 rows —
+    #                                        r5 paired A/Bs: bathroom any-hit -20%;
+    #                                        big tables excluded: sponza coherent
+    #                                        any-hit +12% loss, and its incoherent
+    #                                        shadows ride the grouped tsort path)
     tsort_alternate: bool = False          # recompute the tsort perm on even bounces only
     frame_batch: int = 1                   # spp accumulated per dispatch (realtime knob)
     megakernel: str = "off"                # "off" | "on" | "auto": run eligible

@@ -52,6 +52,7 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                        traversal: str = "packet",
                        bounce_traversal: str = "same",
                        fused_pair: bool = False,
+                       fused_pair_occl: bool = True,
                        treelet_min: int = 1 << 15,
                        packet_size: int = 128,
                        textured: bool = False,
@@ -382,12 +383,21 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
                     fused_pair=fused_pair, perm=shared_perm,
                     inv=shared_inv)
             else:
+                # Ungrouped occlusion: fused-pair pops ON by default for
+                # SMALL tables — r5 paired any-hit A/Bs measured -20%
+                # (bathroom 4M rays, 2 runs); big tables excluded
+                # (sponza coherent any-hit measured a 12% LOSS, and its
+                # incoherent bounce shadows ride the grouped tsort path
+                # above, which stays on cfg.fused_pair).
+                fp_occ = fused_pair_occl \
+                    and scene.bvh.node_rows.shape[0] < 8192
                 occluded = trace_occluded(scene, so, sd, st_, shadow_live,
                                           stack_depth=stack_depth,
                                           leaf_size=leaf_size,
                                           traversal=traversal,
                                           packet_size=packet_size,
-                                          fused_pair=fused_pair)
+                                          fused_pair=(fused_pair
+                                                      or fp_occ))
             contribution = contribution + jnp.where(
                 (shadow_live & ~occluded)[..., None],
                 ls.throughput * ls.emission, 0.0)
@@ -527,7 +537,8 @@ def render_sample_impl(scene, cam: CameraParams, pixel_x, pixel_y, key,
 
 _STATICS = (
     "width", "height", "model", "max_bounces", "stack_depth", "leaf_size",
-    "nee", "traversal", "bounce_traversal", "fused_pair", "treelet_min",
+    "nee", "traversal", "bounce_traversal", "fused_pair",
+    "fused_pair_occl", "treelet_min",
     "packet_size",
     "textured", "mips", "sun", "sun_mode", "sort_rays", "shadow_rev",
     "shadow_sort", "tsort_alternate", "delta",

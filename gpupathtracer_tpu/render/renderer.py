@@ -290,6 +290,7 @@ class Renderer:
                       traversal=self.traversal,
                       bounce_traversal=self.bounce_traversal,
                       fused_pair=self.cfg.fused_pair,
+                      fused_pair_occl=self.cfg.fused_pair_occl,
                       treelet_min=self.cfg.treelet_min,
                       packet_size=min(self.packet_size, self.chunk),
                       textured=self.meta.has_textures,
