@@ -363,6 +363,8 @@ class Renderer:
             kwargs.pop("compaction", None)
             kwargs.pop("compaction_divs", None)
             kwargs.pop("mips", None)  # reference samples level 0 only
+            kwargs.pop("fused_pair", None)   # plain-kernel traversal only
+            kwargs.pop("fused_pair_occl", None)
             out = render_sample_reference(self.scene, self.camera, px, py,
                                           key, **kwargs)
             return out, self.chunk
@@ -370,7 +372,8 @@ class Renderer:
             from gpupathtracer_tpu.models.ao import render_sample_ao
             for k in ("max_bounces", "model", "textured", "mips", "sun",
                       "delta", "sun_mode", "bounce_traversal", "treelet_min",
-                      "compaction", "compaction_divs"):
+                      "compaction", "compaction_divs", "fused_pair",
+                      "fused_pair_occl"):
                 kwargs.pop(k, None)
             return render_sample_ao(self.scene, self.camera, px, py, key,
                                     **kwargs)

@@ -274,3 +274,29 @@ def test_mega_regen_direct(cornell):
     assert abs(img_r.mean() - img_l.mean()) / img_l.mean() < 0.1
     # Exactly SPP primary segments per lane in direct mode.
     assert int(rays) >= SPP * n
+
+
+def test_mega_regen_renderer_batch(cornell):
+    """Renderer wiring for the regen path: megakernel='on' +
+    frame_batch>1 accumulates batch samples per render_frame through ONE
+    regen dispatch, for both wavefront and direct integrators."""
+    cfg, scene, meta = cornell
+    cfg2 = RenderConfig(**{**cfg.__dict__})
+    cfg2.megakernel = "on"
+    cfg2.traversal = "pallas"
+    cfg2.frame_batch = 4
+    cfg2.max_bounces = 3
+    from gpupathtracer_tpu.render import Renderer
+    r = Renderer(cfg2, scene=scene, meta=meta)
+    assert r.use_mega
+    r.render_frame()
+    r.sync()
+    assert r.num_samples == 4
+    img = r.film_hdr()
+    assert np.isfinite(img).all() and img.mean() > 0
+
+    r.render_frame("direct")
+    r.sync()
+    assert r.num_samples == 8
+    img2 = r.film_hdr()
+    assert np.isfinite(img2).all()
