@@ -22,7 +22,9 @@ def scene():
     p0, p1, p2 = tri[:, 0], tri[:, 1], tri[:, 2]
     wide, stats = build_wide_bvh(p0, p1, p2, leaf_size=4, builder="numpy")
     wide = pack_for_packets(wide, p0, (p1 - p0), (p2 - p0), leaf_size=4)
-    dev = WideBVH(*(jnp.asarray(a) for a in wide))
+    # Optional fields (r4 cluster_rows/cluster_refs) stay None when unused.
+    dev = WideBVH(*(jnp.asarray(a) if a is not None else None
+                    for a in wide))
     geom = jnp.asarray(pack_tri_geom(p0, p1 - p0, p2 - p0))
     depth = stats.max_depth * 7 + 2
     rng2 = np.random.RandomState(3)
