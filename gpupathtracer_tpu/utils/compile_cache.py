@@ -8,10 +8,34 @@ GL driver): first-frame jit compiles cost 4-400 s through the axon tunnel
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+
+def _host_tag() -> str:
+    """Fingerprint of the host CPU feature set.
+
+    XLA:CPU AOT artifacts embed the compile machine's feature flags; the
+    build fleet rotates across machine generations, and loading an
+    artifact compiled with features this host lacks SEGFAULTS (observed
+    round 5: a cached treelet executable took down the whole test
+    suite; cpu_aot_loader warns about exactly this). Keying the cache
+    directory by the flags line makes cross-host reuse impossible while
+    keeping same-host warm starts."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
-                            "gpupathtracer_tpu", "xla")
+                            "gpupathtracer_tpu",
+                            "xla-" + _host_tag())
 _enabled = False
 
 
