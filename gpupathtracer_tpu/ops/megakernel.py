@@ -194,11 +194,13 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
                  st_pdf0, st_pdf1, st_alive,
                  cap_t, cap_prim, cap_e1, cap_e2, cap_ms,
                  st_bounce, st_sample,
+                 stack_b, occl, sh_o, sh_d, sh_add, sh_tmax, sh_live,
                  *, stack_depth: int, leaf_size: int, max_bounces: int,
                  nee: bool, model: str, n_mats: int, n_lights: int,
                  arity: int = 8, cluster: bool = False, tc: int = 0,
                  with_stats: bool = False, tail_start: int = 8,
-                 spp: int = 1, regen: bool = False):
+                 spp: int = 1, regen: bool = False,
+                 fused_nee: bool = False):
     """One packet; the full path-tracing estimator per lane.
 
     seed: SMEM (P,); params: SMEM (5,) [total_area, nee_pdf, env rgb];
@@ -223,6 +225,18 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
     tools/mega_profile.py). Each lane runs its own (sample, bounce)
     state; RNG is keyed per (seed, sample, bounce, slot, lane), so
     renders stay deterministic given (seed, packet layout).
+
+    fused_nee: DEFERRED-SHADOW FUSION — each bounce's NEE shadow ray is
+    stored (sh_* scratch) instead of walked immediately, and the NEXT
+    bounce's closest walk runs it as the partner stream of a fused
+    two-stack walk (walk_fused): one pl.when region per
+    (closest_phase, anyhit_phase) pair, the _kernel_pair schedule
+    (PERF.md round-5 fused-pair adjudication — the sync share of the
+    minority walk's pops retires under the partner's slab/MT vector
+    work). Estimator-identical: the deferred contribution is added one
+    loop iteration later; any-hit pops are ~40% of the megakernel pop
+    wall (tools/mega_profile.py), so the ceiling is that share of pop
+    time. Not composable with cluster.
 
     cluster: rows_ref is the cluster TOP tree and cl_ref holds the dense
     [Ncl*8, 3*tc] inverse-matrix blocks (bvh/cluster.py). Leaf pops run
@@ -295,6 +309,14 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         st_sample[...] = jnp.zeros((G, LANES), jnp.int32)
     ctr[0] = 0  # bounce rays traced
     ctr[1] = 0  # live shadow rays traced
+    if fused_nee:
+        sh_live[...] = jnp.zeros((G, LANES), jnp.int32)
+        sh_tmax[...] = jnp.zeros((G, LANES), jnp.float32)
+        for a in range(3):
+            sh_o[a] = jnp.zeros((G, LANES), jnp.float32)
+            sh_d[a] = jnp.full((G, LANES), 1.0 if a == 2 else 0.0,
+                               jnp.float32)
+            sh_add[a] = jnp.zeros((G, LANES), jnp.float32)
     if with_stats:
         # [2] closest node pops, [3] closest leaf pops, [4] anyhit node,
         # [5] anyhit leaf, [6] closest pops at bounce >= tail_start,
@@ -662,6 +684,282 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         sp0 = jnp.where(any_on, 1, 0)
         jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
+    def walk_fused(o, d, on_c, so, sd, stmax, on_a, bounce_i=None):
+        """Fused closest (this bounce) + any-hit (deferred shadow) walk.
+
+        Two independent stack walks, ONE pl.when region per
+        (closest_phase, anyhit_phase) combination so each stream's
+        vector->scalar sync (~125-250 ns of the 460 ns pop, PERF.md MFU
+        account) retires under the partner's slab/MT vector work — the
+        _kernel_pair schedule applied across walk TYPES. Pops, order,
+        and results are identical to walk_closest + walk_anyhit run
+        serially; only the schedule changes. Closest side writes cap_*;
+        any-hit side writes occl (>= 0 means occluded). A drained side
+        flows through whichever region its stale top-of-stack selects,
+        fully masked (the _kernel_pair tail protocol)."""
+        inv_c = [jnp.where(d[a] >= 0, 1.0, -1.0)
+                 / jnp.maximum(jnp.abs(d[a]), 1e-12) for a in range(3)]
+        oi_c = [o[a] * inv_c[a] for a in range(3)]
+        inv_a = [jnp.where(sd[a] >= 0, 1.0, -1.0)
+                 / jnp.maximum(jnp.abs(sd[a]), 1e-12) for a in range(3)]
+        oi_a = [so[a] * inv_a[a] for a in range(3)]
+        cap_t[...] = jnp.full((G, LANES), 1e20, jnp.float32)
+        cap_prim[...] = jnp.full((G, LANES), -1, jnp.int32)
+        cap_e1[0] = jnp.ones((G, LANES), jnp.float32)
+        cap_e1[1] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e1[2] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e2[0] = jnp.zeros((G, LANES), jnp.float32)
+        cap_e2[1] = jnp.ones((G, LANES), jnp.float32)
+        cap_e2[2] = jnp.zeros((G, LANES), jnp.float32)
+        cap_ms[0] = jnp.zeros((G, LANES), jnp.float32)
+        cap_ms[1] = jnp.ones((G, LANES), jnp.float32)
+        occl[...] = jnp.full((G, LANES), -1, jnp.int32)
+
+        stack[0] = 0
+        stack_b[0] = 0
+        sp_c0 = jnp.where(jnp.sum(jnp.where(on_c, 1, 0)) > 0, 1, 0)
+        sp_a0 = jnp.where(jnp.sum(jnp.where(on_a, 1, 0)) > 0, 1, 0)
+        sp_ref[0] = sp_c0
+        sp_ref[1] = sp_a0
+
+        def body(tot):
+            del tot
+            sp_c = sp_ref[0]
+            have_c = sp_c > 0
+            entry_c = stack[jnp.maximum(sp_c - 1, 0)]
+            sp_ref[0] = jnp.where(have_c, sp_c - 1, sp_c)
+            leaf_c = have_c & (entry_c < 0)
+            packed_c = jnp.where(leaf_c, -(entry_c + 1), 0)
+            ridx_c = jnp.where(leaf_c, packed_c >> 4,
+                               jnp.maximum(entry_c, 0))
+            ridx_c = jnp.where(have_c, ridx_c, 0)
+
+            sp_a = sp_ref[1]
+            have_a = sp_a > 0
+            entry_a = stack_b[jnp.maximum(sp_a - 1, 0)]
+            sp_ref[1] = jnp.where(have_a, sp_a - 1, sp_a)
+            leaf_a = have_a & (entry_a < 0)
+            packed_a = jnp.where(leaf_a, -(entry_a + 1), 0)
+            ridx_a = jnp.where(leaf_a, packed_a >> 4,
+                               jnp.maximum(entry_a, 0))
+            ridx_a = jnp.where(have_a, ridx_a, 0)
+
+            row_c = rows_ref[pl.ds(ridx_c, 1), :]
+            row_ci = jax.lax.bitcast_convert_type(row_c, jnp.int32)
+            rowGc = pltpu.repeat(row_c, G, axis=0) if G > 1 else row_c
+            rowGci = jax.lax.bitcast_convert_type(rowGc, jnp.int32)
+            row_a = rows_ref[pl.ds(ridx_a, 1), :]
+            row_ai = jax.lax.bitcast_convert_type(row_a, jnp.int32)
+            rowGa = pltpu.repeat(row_a, G, axis=0) if G > 1 else row_a
+            rowGai = jax.lax.bitcast_convert_type(rowGa, jnp.int32)
+
+            if with_stats:
+                hc = have_c.astype(jnp.int32)
+                lc = leaf_c.astype(jnp.int32)
+                ha = have_a.astype(jnp.int32)
+                la = leaf_a.astype(jnp.int32)
+                ctr[2] = ctr[2] + hc - lc
+                ctr[3] = ctr[3] + lc
+                ctr[4] = ctr[4] + ha - la
+                ctr[5] = ctr[5] + la
+                tails = jnp.where(bounce_i >= tail_start, 1, 0)
+                ctr[6] = ctr[6] + hc * tails
+                ctr[7] = ctr[7] + ha * tails
+
+            rays_on_a = on_a & (occl[...] < 0) & have_a
+            onc = on_c & have_c
+
+            def node_c_vec():
+                t_cur = cap_t[...]
+                hits, tmins = [], []
+                for j in range(arity):
+                    tmin = None
+                    tmax_ = None
+                    for a in range(3):
+                        lo = rowGc[:, j * 6 + a:j * 6 + a + 1]
+                        hi = rowGc[:, j * 6 + 3 + a:j * 6 + 4 + a]
+                        t0 = lo * inv_c[a] - oi_c[a]
+                        t1 = hi * inv_c[a] - oi_c[a]
+                        lo_t = jnp.minimum(t0, t1)
+                        hi_t = jnp.maximum(t0, t1)
+                        tmin = (lo_t if tmin is None
+                                else jnp.maximum(tmin, lo_t))
+                        tmax_ = (hi_t if tmax_ is None
+                                 else jnp.minimum(tmax_, hi_t))
+                    hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                                & (tmin < t_cur) & onc)
+                    tmins.append(tmin)
+                h8 = jnp.stack(hits)
+                t8 = jnp.stack(tmins)
+                return jnp.min(
+                    jnp.min(jnp.where(h8, t8, jnp.inf), axis=2),
+                    axis=1, keepdims=True)
+
+            def node_c_scalar(keyv):
+                pairs = []
+                for j in range(arity):
+                    centry = row_ci[0, 6 * arity + j]
+                    k = jnp.where(centry == _INVALID, jnp.inf, keyv[j, 0])
+                    pairs.append((k, centry))
+                for a, b in _sort_net(arity):
+                    ka, ea = pairs[a]
+                    kb, eb = pairs[b]
+                    swap = ka < kb
+                    pairs[a] = (jnp.where(swap, kb, ka),
+                                jnp.where(swap, eb, ea))
+                    pairs[b] = (jnp.where(swap, ka, kb),
+                                jnp.where(swap, ea, eb))
+                new_sp = sp_ref[0]
+                for k, centry in pairs:
+                    pushed = (k < jnp.inf) & have_c
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack[idx] = jnp.where(pushed, centry, stack[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[0] = new_sp
+
+            def leaf_c_body():
+                count = packed_c & 15
+                t_c = cap_t[...]
+                p_c = cap_prim[...]
+                e1c = [cap_e1[a] for a in range(3)]
+                e2c = [cap_e2[a] for a in range(3)]
+                mc = cap_ms[0]
+                sc = cap_ms[1]
+                for k in range(leaf_size):
+                    b = k * 12
+                    p0 = [rowGc[:, b + a:b + a + 1] for a in range(3)]
+                    e1 = [rowGc[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                    e2 = [rowGc[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                    pid_ = rowGci[:, b + 9:b + 10]
+                    mat_f = rowGc[:, b + 10:b + 11]
+                    sgn = rowGc[:, b + 11:b + 12]
+                    px = d[1] * e2[2] - d[2] * e2[1]
+                    py = d[2] * e2[0] - d[0] * e2[2]
+                    pz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    idet = 1.0 / det
+                    tx = o[0] - p0[0]
+                    ty = o[1] - p0[1]
+                    tz = o[2] - p0[2]
+                    uu = (tx * px + ty * py + tz * pz) * idet
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * idet
+                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < t_c)
+                          & onc & (k < count))
+                    t_c = jnp.where(ok, tt, t_c)
+                    p_c = jnp.where(ok, pid_, p_c)
+                    for a in range(3):
+                        e1c[a] = jnp.where(ok, e1[a], e1c[a])
+                        e2c[a] = jnp.where(ok, e2[a], e2c[a])
+                    mc = jnp.where(ok, mat_f, mc)
+                    sc = jnp.where(ok, sgn, sc)
+                cap_t[...] = t_c
+                cap_prim[...] = p_c
+                for a in range(3):
+                    cap_e1[a] = e1c[a]
+                    cap_e2[a] = e2c[a]
+                cap_ms[0] = mc
+                cap_ms[1] = sc
+
+            def node_a_vec():
+                hits = []
+                for j in range(arity):
+                    tmin = None
+                    tmax_ = None
+                    for a in range(3):
+                        lo = rowGa[:, j * 6 + a:j * 6 + a + 1]
+                        hi = rowGa[:, j * 6 + 3 + a:j * 6 + 4 + a]
+                        t0 = lo * inv_a[a] - oi_a[a]
+                        t1 = hi * inv_a[a] - oi_a[a]
+                        lo_t = jnp.minimum(t0, t1)
+                        hi_t = jnp.maximum(t0, t1)
+                        tmin = (lo_t if tmin is None
+                                else jnp.maximum(tmin, lo_t))
+                        tmax_ = (hi_t if tmax_ is None
+                                 else jnp.minimum(tmax_, hi_t))
+                    hits.append((tmin <= tmax_) & (tmax_ > 0.0)
+                                & (tmin < stmax) & rays_on_a)
+                h8 = jnp.stack(hits).astype(jnp.int32)
+                return jnp.sum(jnp.sum(h8, axis=2), axis=1, keepdims=True)
+
+            def node_a_scalar(cnt):
+                w = jnp.left_shift(1, jax.lax.broadcasted_iota(
+                    jnp.int32, (arity, 1), 0))
+                bits = jnp.sum(jnp.where(cnt > 0, w, 0))
+                new_sp = sp_ref[1]
+                for j in range(arity):
+                    centry = row_ai[0, 6 * arity + j]
+                    pushed = ((jax.lax.shift_right_logical(bits, j) & 1
+                               > 0) & (centry != _INVALID))
+                    idx = jnp.minimum(new_sp, stack_depth - 1)
+                    stack_b[idx] = jnp.where(pushed, centry, stack_b[idx])
+                    new_sp = new_sp + jnp.where(pushed, 1, 0)
+                sp_ref[1] = new_sp
+
+            def leaf_a_body():
+                count = packed_a & 15
+                p_c = occl[...]
+                for k in range(leaf_size):
+                    b = k * 12
+                    p0 = [rowGa[:, b + a:b + a + 1] for a in range(3)]
+                    e1 = [rowGa[:, b + 3 + a:b + 4 + a] for a in range(3)]
+                    e2 = [rowGa[:, b + 6 + a:b + 7 + a] for a in range(3)]
+                    pid_ = rowGai[:, b + 9:b + 10]
+                    px = sd[1] * e2[2] - sd[2] * e2[1]
+                    py = sd[2] * e2[0] - sd[0] * e2[2]
+                    pz = sd[0] * e2[1] - sd[1] * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    idet = 1.0 / det
+                    tx = so[0] - p0[0]
+                    ty = so[1] - p0[1]
+                    tz = so[2] - p0[2]
+                    uu = (tx * px + ty * py + tz * pz) * idet
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    vv = (sd[0] * qx + sd[1] * qy + sd[2] * qz) * idet
+                    tt = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * idet
+                    ok = ((uu > 0.0) & (uu < 1.0) & (vv > 0.0)
+                          & (uu + vv < 1.0) & (tt > 0.0) & (tt < stmax)
+                          & rays_on_a & (k < count))
+                    p_c = jnp.where(ok, pid_, p_c)
+                occl[...] = p_c
+
+            # ONE region per phase pair: both streams' vector work issues
+            # before either stream's scalar sync (_kernel_pair layout).
+            for lc in (False, True):
+                for la in (False, True):
+                    cond = (leaf_c == lc) & (leaf_a == la)
+
+                    @pl.when(cond)
+                    def _(lc=lc, la=la):
+                        kv = None
+                        cnt = None
+                        if lc:
+                            leaf_c_body()
+                        else:
+                            kv = node_c_vec()
+                        if la:
+                            leaf_a_body()
+                        else:
+                            cnt = node_a_vec()
+                        if not lc:
+                            node_c_scalar(kv)
+                        if not la:
+                            node_a_scalar(cnt)
+
+            sp_a2 = sp_ref[1]
+            done_a = jnp.sum((on_a & (occl[...] < 0))
+                             .astype(jnp.int32)) == 0
+            sp_ref[1] = jnp.where(done_a, 0, sp_a2)
+            return sp_ref[0] + sp_ref[1]
+
+        jax.lax.while_loop(lambda t: t > 0, body, sp_c0 + sp_a0)
+
     # --- material / light table broadcast select ---------------------------
     def mat_fields(mid):
         """Albedo, rough_g, metallic, emission via static select loop."""
@@ -779,7 +1077,21 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         else:
             bstat = i
 
-        walk_closest(o, d, alive, bounce_i=bstat)
+        if fused_nee:
+            # Deferred shadow rays from the previous bounce run as the
+            # partner stream of this bounce's closest walk; their
+            # contribution settles right after (estimator-identical).
+            sh_on = sh_live[...] > 0
+            walk_fused(o, d, alive,
+                       [sh_o[a] for a in range(3)],
+                       [sh_d[a] for a in range(3)],
+                       sh_tmax[...], sh_on, bounce_i=bstat)
+            add_sh = sh_on & (occl[...] < 0)
+            for a in range(3):
+                st_ct[a] = st_ct[a] + jnp.where(add_sh, sh_add[a], 0.0)
+            sh_live[...] = jnp.zeros((G, LANES), jnp.int32)
+        else:
+            walk_closest(o, d, alive, bounce_i=bstat)
         t = cap_t[...]
         prim = cap_prim[...]
         miss = prim < 0
@@ -873,11 +1185,22 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
             shadow_live = alive & contrib_ok
             ctr[1] = ctr[1] + jnp.sum(jnp.where(shadow_live, 1, 0))
             so = [pos[a] + 0.001 * n[a] for a in range(3)]
-            walk_anyhit(so, ldir, shadow_tmax, shadow_live, bounce_i=bstat)
-            occluded = cap_prim[...] >= 0
-            add = shadow_live & ~occluded
-            for a in range(3):
-                st_ct[a] = st_ct[a] + jnp.where(add, lt[a] * lem[a], 0.0)
+            if fused_nee:
+                # Defer: next iteration's fused walk traces this batch.
+                for a in range(3):
+                    sh_o[a] = so[a]
+                    sh_d[a] = ldir[a]
+                    sh_add[a] = lt[a] * lem[a]
+                sh_tmax[...] = shadow_tmax
+                sh_live[...] = jnp.where(shadow_live, 1, 0)
+            else:
+                walk_anyhit(so, ldir, shadow_tmax, shadow_live,
+                            bounce_i=bstat)
+                occluded = cap_prim[...] >= 0
+                add = shadow_live & ~occluded
+                for a in range(3):
+                    st_ct[a] = st_ct[a] + jnp.where(add, lt[a] * lem[a],
+                                                    0.0)
 
         if max_bounces == 0:
             # Pure direct lighting: no continuation (wavefront.py:390-399).
@@ -950,8 +1273,15 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
         def loop_cond(i):
             pending = (st_alive[...] > 0) | ((st_sample[...] < spp - 1)
                                              & act_ref[...])
+            if fused_nee:
+                pending = pending | (sh_live[...] > 0)
             return (jnp.sum(jnp.where(pending, 1, 0)) > 0) \
-                & (i < spp * (max_bounces + 2))
+                & (i < spp * (max_bounces + 2) + 1)
+    elif fused_nee:
+        def loop_cond(i):
+            pending = (jnp.sum(st_alive[...]) > 0) \
+                | (jnp.sum(sh_live[...]) > 0)
+            return pending & (i <= max_bounces + 2)
     else:
         def loop_cond(i):
             any_alive = jnp.sum(st_alive[...]) > 0
@@ -973,13 +1303,15 @@ def _mega_kernel(seed_ref, params_ref, cdf_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "stack_depth", "leaf_size", "max_bounces", "nee", "model", "n_mats",
-    "n_lights", "packet_size", "interpret", "with_stats", "spp"))
+    "n_lights", "packet_size", "interpret", "with_stats", "spp",
+    "fused_nee"))
 def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                *, stack_depth: int, leaf_size: int, max_bounces: int,
                nee: bool, model: str, n_mats: int, n_lights: int,
                packet_size: int = 2048, interpret: bool = False,
                cluster_rows=None, with_stats: bool = False,
-               spp: int = 1, pxn=None, pyn=None):
+               spp: int = 1, pxn=None, pyn=None,
+               fused_nee: bool = False):
     """Run the megakernel over [N] primary rays.
 
     Returns (contribution [N, 3], rays i32 scalar). N must divide
@@ -1010,6 +1342,8 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
             1, 0, 2, 3)
 
     cluster = cluster_rows is not None
+    if cluster and fused_nee:
+        raise ValueError("fused_nee does not compose with cluster leaves")
     tc = cluster_rows.shape[1] // 3 if cluster else 0
     if not cluster:
         # Dummy 1-row table keeps the pallas_call signature static.
@@ -1018,7 +1352,7 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
         _mega_kernel, stack_depth=stack_depth, leaf_size=leaf_size,
         max_bounces=max_bounces, nee=nee, model=model, n_mats=n_mats,
         n_lights=n_lights, cluster=cluster, tc=tc, with_stats=with_stats,
-        spp=spp, regen=regen)
+        spp=spp, regen=regen, fused_nee=fused_nee)
 
     ray_spec = pl.BlockSpec((1, 3, G, LANES), lambda p: (p, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1052,7 +1386,7 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
         out_shape=[jax.ShapeDtypeStruct((P, 3, G, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
                         pltpu.SMEM((8,), jnp.int32),
                         G3_scr(), G3_scr(), G3_scr(), G3_scr(), G3_scr(),
                         G_scr(), G_scr(),
@@ -1062,6 +1396,12 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                         G3_scr(), G3_scr(),
                         pltpu.VMEM((2, G, LANES), jnp.float32),
                         pltpu.VMEM((G, LANES), jnp.int32),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        # fused_nee scratch (stack_b, occl, sh_*):
+                        pltpu.SMEM((stack_depth,), jnp.int32),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        G3_scr(), G3_scr(), G3_scr(),
+                        G_scr(),
                         pltpu.VMEM((G, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
@@ -1069,7 +1409,7 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
                 + cluster_rows.size * cluster_rows.dtype.itemsize
                 + (mats.size + lights.size) * 4
                 + (2 * 3 * tc * LANES * 4 * 4 if cluster else 0)
-                + 44 * G * LANES * 4 + 8 * 1024 * 1024,
+                + 56 * G * LANES * 4 + 8 * 1024 * 1024,
                 120 * 1024 * 1024)),
         interpret=interpret,
     )(seeds.astype(jnp.int32), params, cdf, in0, in1,
@@ -1086,7 +1426,8 @@ def trace_mega(rows, mats, lights, cdf, params, o, d, active, seeds,
 
 _MEGA_STATICS = ("width", "height", "stack_depth", "leaf_size",
                  "max_bounces", "nee", "model", "n_mats", "n_lights",
-                 "packet_size", "interpret", "with_stats", "spp")
+                 "packet_size", "interpret", "with_stats", "spp",
+                 "fused_nee")
 
 
 @functools.partial(jax.jit, static_argnames=_MEGA_STATICS)
@@ -1097,7 +1438,7 @@ def render_sample_mega(scene, mega_tables, cam, pixel_x, pixel_y, key,
                        n_mats: int = 1, n_lights: int = 1,
                        packet_size: int = 2048, interpret: bool = False,
                        sample_idx=0, with_stats: bool = False,
-                       spp: int = 1):
+                       spp: int = 1, fused_nee: bool = False):
     """Wavefront-compatible entry: raygen (identical jitter/lens threefry
     draws to models/wavefront.py) + the megakernel. Returns
     ([N, 3] contributions, rays i32).
@@ -1120,6 +1461,7 @@ def render_sample_mega(scene, mega_tables, cam, pixel_x, pixel_y, key,
               max_bounces=max_bounces, nee=nee, model=model,
               n_mats=n_mats, n_lights=n_lights, packet_size=K,
               interpret=interpret, with_stats=with_stats,
+              fused_nee=fused_nee,
               cluster_rows=getattr(scene.bvh, "cluster_rows", None))
 
     if spp > 1:

@@ -300,3 +300,35 @@ def test_mega_regen_renderer_batch(cornell):
     assert r.num_samples == 8
     img2 = r.film_hdr()
     assert np.isfinite(img2).all()
+
+
+def test_mega_fused_nee_matches_plain(cornell):
+    """Deferred-shadow fusion (fused_nee: walk_fused runs each bounce's
+    closest walk paired with the PREVIOUS bounce's shadow walk in one
+    region per phase pair) is schedule-only: RNG streams, pops, and path
+    evolution are identical to the serial walks, so the contribution
+    matches to FP-summation-order tolerance and the ray counter exactly
+    (tools/mega_profile.py --fused-nee shows bitwise-equal pop
+    counters)."""
+    cfg, scene, meta = cornell
+    cam = generate_image_plane(cfg.camera)
+    n = 200  # NOT a multiple of 128: padded lanes must stay inert
+    px, py = _px(n, 16)
+    tables = pack_mega_tables(scene)
+    kw = dict(width=16, height=16, stack_depth=meta.stack_depth,
+              leaf_size=meta.leaf_size, nee=True,
+              n_mats=meta.num_materials,
+              n_lights=int(scene.light_rows.shape[0]),
+              packet_size=128, interpret=True)
+    key = jax.random.PRNGKey(11)
+    for mb, spp in ((6, 1), (0, 1), (4, 8)):  # full PT, direct, regen
+        c_p, rays_p = render_sample_mega(scene, tables, cam, px, py, key,
+                                         sample_idx=0, max_bounces=mb,
+                                         spp=spp, **kw)
+        c_f, rays_f = render_sample_mega(scene, tables, cam, px, py, key,
+                                         sample_idx=0, max_bounces=mb,
+                                         spp=spp, fused_nee=True, **kw)
+        assert int(rays_p) == int(rays_f), (mb, spp)
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p),
+                                   rtol=2e-3, atol=1e-5,
+                                   err_msg=f"mb={mb} spp={spp}")

@@ -43,6 +43,9 @@ def main() -> None:
                          "path regeneration (the persistent-path-pool "
                          "composition) and the --time pass becomes a "
                          "PAIRED regen-vs-loop A/B")
+    ap.add_argument("--fused-nee", action="store_true",
+                    help="deferred-shadow fused walk (walk_fused); with "
+                         "--time the A/B becomes PAIRED fused-vs-plain")
     ap.add_argument("--time", action="store_true",
                     help="also time --frames stat-free frames (wall)")
     ap.add_argument("--frames", type=int, default=3)
@@ -96,7 +99,8 @@ def main() -> None:
     spp = args.spp
     _, rays, stats = render_sample_mega(
         r.scene, r.mega_tables, r.camera, r.pixel_x, r.pixel_y, key,
-        sample_idx=0, with_stats=True, spp=spp, **mk)
+        sample_idx=0, with_stats=True, spp=spp,
+        fused_nee=args.fused_nee, **mk)
     st = (np.asarray(stats).astype(np.int64) / spp)  # [P, 9], per sample
     P = st.shape[0]
     K = mk["packet_size"]
@@ -129,17 +133,25 @@ def main() -> None:
         from gpupathtracer_tpu.ops.megakernel import \
             render_sample_mega_batch
 
-        def mk_fn(fori):
+        def mk_fn(fori, fused=False):
             if spp == 1:
                 return lambda: render_sample_mega(
                     r.scene, r.mega_tables, r.camera, r.pixel_x,
-                    r.pixel_y, key, sample_idx=0, **mk)[0]
+                    r.pixel_y, key, sample_idx=0, fused_nee=fused,
+                    **mk)[0]
             return lambda: render_sample_mega_batch(
                 r.scene, r.mega_tables, r.camera, r.pixel_x, r.pixel_y,
-                key, spp=spp, sample_idx=0, fori=fori, **mk)[0]
+                key, spp=spp, sample_idx=0, fori=fori, fused_nee=fused,
+                **mk)[0]
 
-        variants = ([("regen", mk_fn(False)), ("loop", mk_fn(True))]
-                    if spp > 1 else [("mega", mk_fn(False))])
+        if args.fused_nee:
+            # Paired fused-vs-plain A/B (both regen when spp > 1).
+            variants = [("fused", mk_fn(False, True)),
+                        ("plain", mk_fn(False, False))]
+        elif spp > 1:
+            variants = [("regen", mk_fn(False)), ("loop", mk_fn(True))]
+        else:
+            variants = [("mega", mk_fn(False))]
         for _, f in variants:
             float(jnp.sum(f()))  # compile
         out = variants[0][1]()
