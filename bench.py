@@ -203,7 +203,12 @@ def main() -> None:
                           # samples/dispatch, reported as accumulated
                           # samples/s (the progressive-throughput number).
                           ("megaregen8", 8, {"megakernel": "on"}),
-                          ("megaregen32", 32, {"megakernel": "on"})]
+                          ("megaregen32", 32, {"megakernel": "on"}),
+                          # r5 s2: deferred-shadow fused walk (NEE shadow
+                          # rays pair with the next bounce's closest walk
+                          # — schedule-only; the probe adjudicates it).
+                          ("megaregenfused32", 32,
+                           {"megakernel": "on", "mega_fused_nee": True})]
         if full:
             table_variants.append(("megacluster", 1,
                                    {"megakernel": "on",
@@ -347,6 +352,13 @@ def main() -> None:
             # stay full-live; tools/mega_profile.py counters).
             "megaregen64": lambda: Renderer(_bath_cfg(
                 1280, 720, megakernel="on", frame_batch=64)),
+            # Round-5 s2: deferred-shadow fused walk (walk_fused) — the
+            # shadow any-hit pops (~40% of the megakernel pop wall) pair
+            # with the next bounce's closest pops; schedule-only, so the
+            # probe A/B is the adjudication.
+            "megaregenfused64": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", frame_batch=64,
+                mega_fused_nee=True)),
         }
         if full:
             bath_variants.update({
@@ -366,6 +378,9 @@ def main() -> None:
         bath_kw = {"wavefront": {}, "fpair": {"fused_pair": True},
                    "mega": {"megakernel": "on"},
                    "megaregen64": {"megakernel": "on", "frame_batch": 64},
+                   "megaregenfused64": {"megakernel": "on",
+                                        "frame_batch": 64,
+                                        "mega_fused_nee": True},
                    "cluster": {"cluster_tris": 128},
                    "megacluster": {"megakernel": "on", "cluster_tris": 128},
                    "megacluster256": {"megakernel": "on",

@@ -63,6 +63,7 @@ def build_config(args) -> "RenderConfig":
     cfg.sampler = args.sampler
     cfg.frame_batch = args.frame_batch
     cfg.megakernel = args.megakernel
+    cfg.mega_fused_nee = args.mega_fused_nee
     cfg.shadow_rev = args.shadow_rev
     cfg.bounce_traversal = args.bounce_traversal
     cfg.partition_chips = args.partition_chips
@@ -121,6 +122,10 @@ def main(argv=None) -> int:
                    choices=["off", "on", "auto"],
                    help="run eligible small-scene frames through the "
                         "all-on-core bounce loop (ops/megakernel.py)")
+    p.add_argument("--mega-fused-nee", action="store_true",
+                   help="megakernel deferred-shadow fusion: NEE shadow "
+                        "rays trace as the partner stream of the next "
+                        "bounce's closest walk (walk_fused)")
     p.add_argument("--exposure", type=float, default=1.68)
     p.add_argument("--bvh-builder", default="auto",
                    choices=["auto", "cpp", "numpy"])

@@ -97,6 +97,11 @@ class RenderConfig:
     megakernel: str = "off"                # "off" | "on" | "auto": run eligible
     #                                        wavefront/direct frames through the
     #                                        all-on-core bounce loop (ops/megakernel.py)
+    mega_fused_nee: bool = False           # deferred-shadow fused walk: each bounce's
+    #                                        NEE shadow rays trace as the partner
+    #                                        stream of the NEXT bounce's closest walk
+    #                                        (walk_fused, _kernel_pair schedule);
+    #                                        schedule-only, cluster-incompatible
     compaction: bool = True                # bounce-epoch live-path compaction
     compaction_divs: Tuple[int, ...] = (4, 16, 64)  # phase width schedule (PERF.md r3 sweep)
     sampler: str = "random"                # pixel jitter: "random" | "ld" (R2 + per-pixel rotation)

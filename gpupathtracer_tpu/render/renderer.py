@@ -312,7 +312,9 @@ class Renderer:
                       n_mats=self.meta.num_materials,
                       n_lights=int(self.scene.light_rows.shape[0]),
                       packet_size=self.cfg.pallas_packet_size,
-                      interpret=jax.default_backend() != "tpu")
+                      interpret=jax.default_backend() != "tpu",
+                      fused_nee=(self.cfg.mega_fused_nee
+                                 and self.cfg.cluster_tris <= 0))
             if batch > 1:
                 return render_sample_mega_batch(
                     self.scene, self.mega_tables, self.camera, px, py, key,
