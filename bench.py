@@ -464,5 +464,52 @@ def main() -> None:
     }))
 
 
+def _error_line(msg: str) -> None:
+    print(json.dumps({
+        "metric": "mrays_per_sec_sponza_1080p", "value": 0.0,
+        "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": msg[:500],
+    }), flush=True)
+
+
+def _main_guarded() -> None:
+    """Emit an honest JSON line instead of crashing silently when the
+    axon tunnel is DOWN (backend init raises UNAVAILABLE or hangs — r3
+    session 4 lost it for 5+ h; r5 session 2 logged DOWN for hours). A
+    down tunnel is an infrastructure fact, not a perf regression; the
+    error line says so explicitly so the driver's BENCH_r{N}.json
+    records the cause and the previous round's numbers remain the
+    measured state. The deadman guards ONLY backend init — a healthy
+    bench run takes far longer than its 600-s budget."""
+    import os
+    import threading
+
+    def _deadman():
+        _error_line("tunnel DOWN: TPU backend init did not complete "
+                    "within 600 s (see tools/tunnel_probe.py); the "
+                    "previous BENCH_r{N}.json carries the last measured "
+                    "state")
+        os._exit(3)
+
+    timer = threading.Timer(600.0, _deadman)
+    timer.daemon = True
+    timer.start()
+    try:
+        import jax
+        jax.devices()  # forces backend init; hangs/raises when DOWN
+    except BaseException as e:  # noqa: BLE001
+        timer.cancel()
+        _error_line(f"tunnel DOWN: TPU backend init failed: "
+                    f"{type(e).__name__}: {e}")
+        raise SystemExit(3)
+    timer.cancel()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — report, then re-raise
+        _error_line(f"bench failed before the headline: "
+                    f"{type(e).__name__}: {e}")
+        raise
+
+
 if __name__ == "__main__":
-    main()
+    _main_guarded()
