@@ -19,10 +19,15 @@ import sys
 import time
 
 _CHILD_FLAG = "--_probe-child"
-INIT_TIMEOUT_S = 150.0
+# r5 s2: a DEGRADED tunnel can take >150 s just to init the backend
+# (observed: the 150-s probe printed DOWN while bench.py, with no
+# timeout, initialized and ran in the same minute). 300 s separates
+# slow-degraded from truly dead.
+INIT_TIMEOUT_S = 300.0
 
 
 def _child() -> int:
+    t_init = time.time()
     import jax
     import jax.numpy as jnp
     try:
@@ -30,6 +35,8 @@ def _child() -> int:
     except Exception as e:  # UNAVAILABLE etc.
         print(f"tunnel: DOWN ({type(e).__name__}: {e})")
         return 2
+    init_s = time.time() - t_init
+    print(f"# backend init {init_s:.1f}s", flush=True)
     x = jnp.ones((8,), jnp.float32)
     float(jnp.sum(x))  # compile + first transfer outside the probe
     rtts = []
