@@ -203,12 +203,14 @@ def main() -> None:
                           # samples/dispatch, reported as accumulated
                           # samples/s (the progressive-throughput number).
                           ("megaregen8", 8, {"megakernel": "on"}),
-                          ("megaregen32", 32, {"megakernel": "on"}),
-                          # r5 s2: deferred-shadow fused walk (NEE shadow
-                          # rays pair with the next bounce's closest walk
-                          # — schedule-only; the probe adjudicates it).
-                          ("megaregenfused32", 32,
-                           {"megakernel": "on", "mega_fused_nee": True})]
+                          ("megaregen32", 32, {"megakernel": "on"})]
+        if full:
+            # r5 s2: deferred-shadow fused walk — MEASURED LOSS (0.910x
+            # paired on config 4, PERF.md round-5 s2); re-probed only on
+            # demand like the cluster rows.
+            table_variants.append(("megaregenfused32", 32,
+                                   {"megakernel": "on",
+                                    "mega_fused_nee": True}))
         if full:
             table_variants.append(("megacluster", 1,
                                    {"megakernel": "on",
@@ -352,16 +354,15 @@ def main() -> None:
             # stay full-live; tools/mega_profile.py counters).
             "megaregen64": lambda: Renderer(_bath_cfg(
                 1280, 720, megakernel="on", frame_batch=64)),
-            # Round-5 s2: deferred-shadow fused walk (walk_fused) — the
-            # shadow any-hit pops (~40% of the megakernel pop wall) pair
-            # with the next bounce's closest pops; schedule-only, so the
-            # probe A/B is the adjudication.
-            "megaregenfused64": lambda: Renderer(_bath_cfg(
-                1280, 720, megakernel="on", frame_batch=64,
-                mega_fused_nee=True)),
         }
         if full:
             bath_variants.update({
+                # r5 s2 deferred-shadow fused walk: MEASURED LOSS (0.910x
+                # paired, mega_profile --fused-nee; drain-tail masked
+                # bodies outweigh the hidden sync — PERF.md round-5 s2).
+                "megaregenfused64": lambda: Renderer(_bath_cfg(
+                    1280, 720, megakernel="on", frame_batch=64,
+                    mega_fused_nee=True)),
                 "fpair": lambda: Renderer(_bath_cfg(1280, 720,
                                                     fused_pair=True)),
                 "cluster": lambda: Renderer(_bath_cfg(1280, 720,
