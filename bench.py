@@ -203,7 +203,11 @@ def main() -> None:
                           # samples/dispatch, reported as accumulated
                           # samples/s (the progressive-throughput number).
                           ("megaregen8", 8, {"megakernel": "on"}),
-                          ("megaregen32", 32, {"megakernel": "on"})]
+                          ("megaregen32", 32, {"megakernel": "on"}),
+                          # r5 s2 batch sweep: 8 -> 17.7, 32 -> 19.9,
+                          # 64 -> 20.6, 128 -> 21.0 spp/s (saturating);
+                          # 128 crosses the carried 20-fps goal.
+                          ("megaregen128", 128, {"megakernel": "on"})]
         if full:
             # r5 s2: deferred-shadow fused walk — MEASURED LOSS (0.910x
             # paired on config 4, PERF.md round-5 s2); re-probed only on
