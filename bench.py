@@ -358,6 +358,16 @@ def main() -> None:
             # stay full-live; tools/mega_profile.py counters).
             "megaregen64": lambda: Renderer(_bath_cfg(
                 1280, 720, megakernel="on", frame_batch=64)),
+            # r5 s3 fb sweep on the config-4 frame itself
+            # (tools/regen_fb_ab.py, paired, spread <= 0.1%): 64 -> 128
+            # 0.971x, 128 -> 256 0.980x (95.3 / 92.5 / 90.6 ms/sample) —
+            # the drain tail amortizes with spp/dispatch. Regen state is
+            # per-lane; spp is a loop bound, so the kernel footprint does
+            # not grow with fb.
+            "megaregen128": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", frame_batch=128)),
+            "megaregen256": lambda: Renderer(_bath_cfg(
+                1280, 720, megakernel="on", frame_batch=256)),
         }
         if full:
             bath_variants.update({
@@ -383,6 +393,8 @@ def main() -> None:
         bath_kw = {"wavefront": {}, "fpair": {"fused_pair": True},
                    "mega": {"megakernel": "on"},
                    "megaregen64": {"megakernel": "on", "frame_batch": 64},
+                   "megaregen128": {"megakernel": "on", "frame_batch": 128},
+                   "megaregen256": {"megakernel": "on", "frame_batch": 256},
                    "megaregenfused64": {"megakernel": "on",
                                         "frame_batch": 64,
                                         "mega_fused_nee": True},
